@@ -1,0 +1,224 @@
+"""Feature hashing + sparse cosine scoring (pure numpy, f32).
+
+Semantics from the reference index (/root/reference/crates/index/src/index.rs):
+- feature space: 260_000 dims, f32                       (index.rs:183,18)
+- per word: h = fxhash32(word); sign = +1 if h >= 2^31 else -1;
+  bucket = h % 260000; duplicate buckets DROPPED (first kept, not summed),
+  matching sklearn HashingVectorizer behavior            (index.rs:188-208)
+- rows L2-normalized at build                            (index.rs:137-142)
+- score(target) = 1 - max_row cos(baseline_row, target); a target with no
+  bucket overlap keeps distance 1.0                      (index.rs:68-102,175-181)
+
+The index is stored column-major (sorted by bucket): scoring a batch of
+targets is then a searchsorted gather over exactly the probed buckets — the
+numpy equivalent of the reference's sparse matmul, with cost proportional to
+the actual bucket collisions instead of a dense pass. This is the payload of
+the Arrow-batched scoring UDF (score.py).
+
+fxhash32 is implemented from the public algorithm of the ``fxhash`` crate
+(cbreeden/fxhash, lifted from rustc's FxHasher): per little-endian chunk
+(u32, then u16, then u8 tail) ``h = (rotl(h, 5) ^ chunk) * SEED32``; Rust
+``Hash for str`` appends a trailing 0xff byte. SEED32 = 0x9e3779b9 (the
+rustc-hash 32-bit constant).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+SIZE = 260_000  # index.rs:183
+CHUNK = 512  # scoring chunk of unique lines (process.rs:26)
+THRESHOLD = np.float32(0.3)  # process.rs:20
+
+_MASK = 0xFFFFFFFF
+_SEED32 = 0x9E3779B9
+
+
+def fxhash32(data: bytes) -> int:
+    """32-bit FxHash of a byte string, with the Rust `str` 0xff suffix."""
+    h = 0
+    n = len(data)
+    i = 0
+    while n - i >= 4:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h = ((((h << 5) | (h >> 27)) & _MASK) ^ w) * _SEED32 & _MASK
+        i += 4
+    if n - i >= 2:
+        w = int.from_bytes(data[i : i + 2], "little")
+        h = ((((h << 5) | (h >> 27)) & _MASK) ^ w) * _SEED32 & _MASK
+        i += 2
+    if n - i == 1:
+        h = ((((h << 5) | (h >> 27)) & _MASK) ^ data[i]) * _SEED32 & _MASK
+    # Hash for str writes the bytes then a single 0xff (prefix-freedom)
+    h = ((((h << 5) | (h >> 27)) & _MASK) ^ 0xFF) * _SEED32 & _MASK
+    return h
+
+
+@lru_cache(maxsize=1 << 20)
+def word_bucket(word: str) -> tuple[int, float]:
+    """(bucket, sign) of one token word. Cached: the post-mask vocabulary is
+    small, so across an executor's lifetime this is a dict lookup."""
+    h = fxhash32(word.encode("utf-8"))
+    sign = 1.0 if h >= 2_147_483_648 else -1.0
+    return h % SIZE, sign
+
+
+def vectorize(tokens: str) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse vector of one tokenized line: (sorted unique buckets, signs).
+
+    Duplicate buckets keep the first-seen sign and are NOT summed
+    (index.rs:188-208). Values are un-normalized (+-1, f32).
+    """
+    words = tokens.split(" ")
+    cols = np.empty(len(words), dtype=np.int64)
+    vals = np.empty(len(words), dtype=np.float32)
+    for i, w in enumerate(words):
+        cols[i], vals[i] = word_bucket(w)
+    order = np.argsort(cols, kind="stable")
+    cols = cols[order]
+    vals = vals[order]
+    keep = np.ones(len(cols), dtype=bool)
+    keep[1:] = cols[1:] != cols[:-1]
+    return cols[keep], vals[keep]
+
+
+def _vectorize_batch(token_lines) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorize a batch of lines -> (row_idx, cols, normalized vals)."""
+    rows: list[np.ndarray] = []
+    cols: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    for i, line in enumerate(token_lines):
+        c, v = vectorize(line)
+        n = len(c)
+        nrm = np.float32(np.sqrt(np.float32(n))) if n else np.float32(1.0)
+        rows.append(np.full(n, i, dtype=np.int64))
+        cols.append(c)
+        vals.append((v / nrm).astype(np.float32))
+    if not rows:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=np.float32)
+    return np.concatenate(rows), np.concatenate(cols), np.concatenate(vals)
+
+
+def _multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(s, s+c) for each (s, c), vectorized."""
+    nz = counts > 0
+    starts = starts[nz]
+    counts = counts[nz]
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = starts[0]
+    # at the first slot of each later range, jump from the previous range's
+    # last value (starts[i-1] + counts[i-1] - 1) to starts[i]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return np.cumsum(out)
+
+
+class SparseIndex:
+    """An immutable column-major baseline index (one per group key).
+
+    Stored as parallel arrays sorted by bucket: (cols, rows, vals), plus the
+    row count. Rows are L2-normalized. Picklable -> broadcastable.
+    """
+
+    __slots__ = ("nrows", "cols", "rows", "vals")
+
+    def __init__(self, nrows: int, cols: np.ndarray, rows: np.ndarray, vals: np.ndarray):
+        self.nrows = int(nrows)
+        self.cols = cols
+        self.rows = rows
+        self.vals = vals
+
+    @property
+    def nnz(self) -> int:
+        return len(self.cols)
+
+    @classmethod
+    def from_token_lines(cls, token_lines) -> "SparseIndex":
+        rows, cols, vals = _vectorize_batch(list(token_lines))
+        order = np.argsort(cols, kind="stable")
+        return cls(len(token_lines), cols[order], rows[order], vals[order])
+
+    @classmethod
+    def from_rows(cls, row_triples) -> "SparseIndex":
+        """From persisted (row_id, indices, values) triples (any order)."""
+        triples = sorted(row_triples, key=lambda r: r[0])
+        rows: list[np.ndarray] = []
+        cols: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        for i, (_, idx, val) in enumerate(triples):
+            rows.append(np.full(len(idx), i, dtype=np.int64))
+            cols.append(np.asarray(idx, dtype=np.int64))
+            vals.append(np.asarray(val, dtype=np.float32))
+        if rows:
+            r = np.concatenate(rows)
+            c = np.concatenate(cols)
+            v = np.concatenate(vals)
+        else:
+            r = np.empty(0, dtype=np.int64)
+            c = r.copy()
+            v = np.empty(0, dtype=np.float32)
+        order = np.argsort(c, kind="stable")
+        return cls(len(triples), c[order], r[order], v[order])
+
+    def to_rows(self):
+        """Explode into (row_id, indices[int32], values[f32]) python rows, the
+        persisted parquet model layout (FIXTURES.md section 2)."""
+        order = np.argsort(self.rows, kind="stable")
+        r = self.rows[order]
+        c = self.cols[order].astype(np.int32)
+        v = self.vals[order]
+        out = []
+        bounds = np.searchsorted(r, np.arange(self.nrows + 1))
+        for i in range(self.nrows):
+            lo, hi = bounds[i], bounds[i + 1]
+            out.append((int(i), c[lo:hi].tolist(), v[lo:hi].tolist()))
+        return out
+
+    def score(self, token_lines) -> np.ndarray:
+        """Cosine distance of each tokenized line to its nearest baseline row.
+
+        Mirrors cosine_distance_chunk (index.rs:85-102): per target,
+        result = min(1.0, 1 - max_row dot); f32 throughout.
+        """
+        token_lines = list(token_lines)
+        m = len(token_lines)
+        result = np.ones(m, dtype=np.float32)
+        if m == 0 or self.nrows == 0 or self.nnz == 0:
+            return result
+        t_idx, t_cols, t_vals = _vectorize_batch(token_lines)
+        if len(t_cols) == 0:
+            return result
+        lo = np.searchsorted(self.cols, t_cols, side="left")
+        hi = np.searchsorted(self.cols, t_cols, side="right")
+        cnt = hi - lo
+        if int(cnt.sum()) == 0:
+            return result
+        gather = _multi_arange(lo, cnt)
+        b_rows = self.rows[gather]
+        prod = self.vals[gather] * np.repeat(t_vals, cnt)
+        t_rep = np.repeat(t_idx, cnt)
+        # sum per (target, baseline_row): compact the key space first
+        keys = t_rep * np.int64(self.nrows) + b_rows
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float32)
+        np.add.at(sums, inv, prod)
+        tgt = (uniq // np.int64(self.nrows)).astype(np.int64)
+        np.minimum.at(result, tgt, np.float32(1.0) - sums)
+        return result
+
+
+def build_matrix(token_lines) -> SparseIndex:
+    """Build an L2-row-normalized index from tokenized lines."""
+    return SparseIndex.from_token_lines(token_lines)
+
+
+def score_lines(index: SparseIndex | None, token_lines) -> np.ndarray:
+    if index is None:
+        return np.ones(len(list(token_lines)), dtype=np.float32)
+    return index.score(token_lines)

@@ -1,0 +1,421 @@
+"""Line tokenizer: replace varying words with fixed mask tokens.
+
+Semantic re-implementation (not a code translation) of the reference
+tokenizer ``/root/reference/crates/tokenizer/src/tokenizer.rs:588-608``
+(entry ``process``): the output string must match the reference exactly
+for the golden parity corpus in ``tests/test_tokenizer.py``.
+
+The hot path for Spark is :func:`tokenize_udf`, a pandas UDF that
+deduplicates each Arrow batch before calling :func:`process` (log data
+is highly repetitive, so the per-unique-line Python cost amortizes to
+~zero), plus a per-executor LRU cache shared across batches.
+
+Design notes for parity (cited file:line into /root/reference):
+- word split regex ``([ \t]|\\[nr])+``            tokenizer.rs:45-50
+- quote/punctuation trim                            tokenizer.rs:52-61
+- global whole-line filter -> "%GL_FILTER"          tokenizer.rs:64-90
+- literal classifier precedence                     tokenizer.rs:455-480
+- error emphasis (5x weight)                        tokenizer.rs:488-496
+- recursive word processing with iterator
+  side effects (consume-next for %VALUE_ID and
+  password keys)                                    tokenizer.rs:507-585
+All length checks are byte lengths (Rust ``str::len``).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+# --- compiled module-level regexes (one compile per executor) ---------------
+
+# tokenizer.rs:45-50 -- note non-capturing group: Rust regex split does not
+# emit capture groups, Python's re.split would.
+_WORDS_RE = re.compile(r"(?:[ \t]|\\[nr])+")
+
+_TRIM_CHARS = "'\",;()[]{}<>\\"
+
+# tokenizer.rs:64-90
+_GLOBAL_RE = re.compile(
+    r"GET / HTTP/1.1"
+    r"|\* [a-zA-Z]+: [a-zA-Z0-9\.-]*$|Trying other mirror."
+    r"|ovs-ofctl .* (?:dump-ports|dump-flows|show)\b"
+    r"|(?:ip|eb)tables .* -L\b"
+    r"|(?:^\^[+*-] [a-z0-9\.>-]{5,} [0-9])"
+    r"|dnsmasq(?:\[[0-9]+\])?: (?:query|forwarded|reply|cached|config)"
+    r"|(?:^[a-f0-9s/]+>[0-9]+ )"
+    r"|(?:^\+\+ echo [^ ]+$)"
+    r"|(?:^net.ipv[46].(?:conf|neigh).tap)"
+    r'|(?:^[" \t]*net.interface.tap)'
+    r"|(?:[ '\",]*\|.{17}\|[ '\",]*$)"
+)
+_WHITESPACE_RE = re.compile(r"\s")
+
+# tokenizer.rs:118-123
+_NUMBERS_RE = re.compile(r"[0-9]+\.[0-9]+|[0-9]+")
+
+# tokenizer.rs:130-142 ("weeds?" is verbatim from the reference)
+_DATE_RE = re.compile(
+    r"^(?:sunday|monday|tuesday|wednesday|thursday|friday|saturday|"
+    r"january|february|march|april|may|june|july|august|september|october|"
+    r"november|december|months?|weeds?|days?|hours?|minutes?)$",
+    re.IGNORECASE | re.ASCII,
+)
+
+# tokenizer.rs:152-166
+_ERROR_RE = re.compile(
+    r"^(?:error|fatal|failure|failed|warning|err|fail|warn|denied|"
+    r"assert|assertion|non-zero|exception|traceback)$",
+    re.IGNORECASE | re.ASCII,
+)
+
+# tokenizer.rs:169-174
+_ODD_CHAR_RE = re.compile(r"[<>{}%$,*]")
+
+# tokenizer.rs:198-210 -- the reference pattern is
+#   ^(:*[\[\]0-9a-fA-FxZ,]+[:.-]*|(latest|none)|rabbitmq-cluster-id-.*)+$
+# under Rust's linear-time regex engine. Python re backtracks exponentially on
+# it, so _uid_pattern_match implements the same language with a greedy linear
+# scan (safe: block-start characters never overlap block-interior classes).
+_UID_A = frozenset("[]0123456789abcdefABCDEFxZ,")
+_UID_S = frozenset(":.-")
+
+
+def _uid_pattern_match(word: str) -> bool:
+    i, n = 0, len(word)
+    blocks = 0
+    while i < n:
+        if word.startswith("rabbitmq-cluster-id-", i):
+            return True
+        if word.startswith("latest", i):
+            i += 6
+            blocks += 1
+            continue
+        if word.startswith("none", i):
+            i += 4
+            blocks += 1
+            continue
+        j = i
+        while j < n and word[j] == ":":
+            j += 1
+        k = j
+        while k < n and word[k] in _UID_A:
+            k += 1
+        if k == j:
+            return False
+        while k < n and word[k] in _UID_S:
+            k += 1
+        i = k
+        blocks += 1
+    return blocks > 0
+
+# tokenizer.rs:224-234
+_UUID_RE = re.compile(r"^[a-zA-Z0-9].*-[a-zA-Z0-9]{4}-[a-zA-Z0-9]{4}-[a-zA-Z0-9]{4}-$")
+
+# tokenizer.rs:237-242
+_MANY_DASH_RE = re.compile(r"^.+-.+-.+-.")
+
+# tokenizer.rs:244-250
+_COOKIE_RE = re.compile(r"^(?:gAAAA|AAAA|tx[a-z]|tap|req-|AUTH_)")
+
+# tokenizer.rs:252-258
+_URL_RE = re.compile(r"^(?:https|http|ftp|ssh)://", re.IGNORECASE)
+
+# tokenizer.rs:260-265
+_BASE64_RE = re.compile(r"^[A-Za-z0-9+/=]+$")
+
+# tokenizer.rs:267-272
+_UNIT_RE = re.compile(r"^[a-z]+_[a-z]+\[[0-9]+\]:$")
+
+# tokenizer.rs:292-304 (two regexes: the (?i:..) scope applies to the first
+# alternative only in the reference pattern)
+_HASH_PREFIX_RE = re.compile(r"^(?:hash|sha|md)[0-9]*[:~]", re.IGNORECASE)
+_HASH_LONG_RE = re.compile(r"\.?[a-zA-Z0-9_+/-]{64,}")
+
+# tokenizer.rs:321-326
+_REFS_RE = re.compile(r"^\w{7}\.\.\w{7}$")
+
+# tokenizer.rs:351-361
+_KEY_FOR_ID_RE = re.compile(
+    r"(?:id|key|ref|region|token|secret|password|pipeline)", re.IGNORECASE
+)
+
+_VOWELS = frozenset("aeiouy")  # index_name.rs:36-38 (y included)
+_CONSONANTS = frozenset("bcdfghjklmnpqrstvwxz")
+
+
+def _blen(word: str) -> int:
+    """Byte length, matching Rust ``str::len``."""
+    if word.isascii():
+        return len(word)
+    return len(word.encode("utf-8"))
+
+
+def _trim_quote_and_punctuation(word: str) -> str:
+    # tokenizer.rs:52-61
+    while word.startswith('u"'):
+        word = word[2:]
+    while word.startswith("u'"):
+        word = word[2:]
+    return word.strip(_TRIM_CHARS)
+
+
+def global_filter(line: str) -> bool:
+    # tokenizer.rs:64-90: single-word lines (no whitespace) are filtered too
+    return _WHITESPACE_RE.search(line) is None or _GLOBAL_RE.search(line) is not None
+
+
+def _remove_numbers(word: str) -> str:
+    return _NUMBERS_RE.sub("N", word)
+
+
+def _contains_no_vowel(word: str) -> bool:
+    # tokenizer.rs:185-195
+    found = False
+    for c in word.lower():
+        if c in _VOWELS:
+            return False
+        if c in _CONSONANTS:
+            found = True
+    return found
+
+
+def _is_uid(word: str) -> bool:
+    return _uid_pattern_match(word) or _contains_no_vowel(word)
+
+
+def _is_base64(word: str) -> bool:
+    # tokenizer.rs:260-265 (byte lengths)
+    return word.endswith("==") or (
+        _blen(word) > 24
+        and (word.endswith("=") or _BASE64_RE.match(word) is not None)
+    )
+
+
+def _is_hash(word: str) -> bool:
+    # tokenizer.rs:292-304
+    return not word.startswith("/") and (
+        _HASH_PREFIX_RE.search(word) is not None
+        or _HASH_LONG_RE.search(word) is not None
+    )
+
+
+def _is_refs(word: str) -> bool:
+    return (
+        word.startswith("refs/")
+        or word.startswith("repos/")
+        or _REFS_RE.match(word) is not None
+    )
+
+
+def _is_random_path(word: str) -> bool:
+    # tokenizer.rs:367-369
+    return "tmp/" in word or "/tmp" in word or word.startswith("tmp")
+
+
+def _parse_literal(word: str) -> str | None:
+    # tokenizer.rs:455-480 -- the order is part of the contract
+    if _DATE_RE.match(word):
+        return "%DATE"
+    if _is_hash(word):
+        return "%HASH"
+    if _is_uid(word):
+        return "%ID"
+    if _COOKIE_RE.match(word):
+        return "%COOKIE"
+    if _UUID_RE.match(word):
+        return "%UID"
+    if _URL_RE.match(word):
+        return "%URL"
+    if _is_random_path(word):
+        return "%PATH"
+    if _is_refs(word):
+        return "%REF"
+    if _is_base64(word):
+        return "%BASE64"
+    if _UNIT_RE.match(word):
+        return "%UNIT"
+    return None
+
+
+def _trim_pid(word: str) -> str | None:
+    # tokenizer.rs:482-485
+    stripped = word.rstrip("0123456789")
+    if stripped.endswith("["):
+        return stripped[:-1]
+    return None
+
+
+def _split_once(word: str, chars: str) -> tuple[str, str] | None:
+    """Rust ``str::split_once([chars])``: split at first occurrence of any."""
+    best = -1
+    for c in chars:
+        i = word.find(c)
+        if i != -1 and (best == -1 or i < best):
+            best = i
+    if best == -1:
+        return None
+    return word[:best], word[best + 1 :]
+
+
+def _is_key_value(word: str) -> tuple[str, str] | None:
+    # tokenizer.rs:328-339
+    kv = _split_once(word, "=:")
+    if kv is None:
+        return None
+    k, v = kv
+    if k[:1] and (k[0].isascii() and (k[0].isalpha() or k[0] == "_")):
+        return k, v
+    return None
+
+
+def _is_two_words(word: str) -> tuple[str, str] | None:
+    # tokenizer.rs:346-349
+    kv = _split_once(word, "[(\\@")
+    if kv is None:
+        return None
+    k, v = kv
+    return k, v.rstrip("])")
+
+
+def _is_password_key(word: str) -> bool:
+    return word.endswith("password:") or word.endswith("password=")
+
+
+def _push_error(word: str, out: list[str]) -> None:
+    # tokenizer.rs:488-496
+    out.append(word)
+    out.append(" ")
+    for tag in ("%A ", "%B ", "%C ", "%D"):
+        out.append(word)
+        out.append(tag)
+
+
+def _do_process(base_word: str, it, out: list[str]) -> bool:
+    """Recursive word processor; ``it`` is the live word iterator so that
+    consume-next semantics (%VALUE_ID, password keys) match the reference
+    (tokenizer.rs:507-585). Returns whether something was appended."""
+    word = _trim_quote_and_punctuation(base_word)
+    added = True
+    if not word:
+        added = False
+    elif (token := _parse_literal(word)) is not None:
+        out.append(token)
+    elif _ERROR_RE.match(word):
+        _push_error(word, out)
+    elif _blen(word) <= 3:
+        added = False
+    elif (strip := _trim_pid(word)) is not None:
+        _do_process(strip, it, out)
+        out.append("%PID")
+    elif _ODD_CHAR_RE.search(word):
+        out.append("%ODD")
+    elif (kv := _is_key_value(word)) is not None:
+        key, value = kv
+        _do_process(key, it, out)
+        if _KEY_FOR_ID_RE.search(key):
+            if not value:
+                next(it, None)  # consume the next word
+            out.append("%EQ %VALUE_ID")
+        else:
+            out.append("%EQ ")
+            added = _do_process(value, it, out)
+    elif "/" in word:
+        w1, w2 = word.split("/", 1)
+        if _do_process(w1, it, out):
+            out.append("/ ")
+        added = _do_process(w2, it, out)
+    elif "-" in word:
+        w1, w2 = word.split("-", 1)
+        if _MANY_DASH_RE.match(w2):
+            out.append("%DASH")
+        else:
+            if _do_process(w1, it, out):
+                out.append("- ")
+            added = _do_process(w2, it, out)
+    elif "|" in word:
+        w1, w2 = word.split("|", 1)
+        if _do_process(w1, it, out):
+            out.append("| ")
+        added = _do_process(w2, it, out)
+    elif _blen(word) >= 32:
+        out.append("%BIG")
+    elif (tw := _is_two_words(word)) is not None:
+        w1, w2 = tw
+        if _do_process(w1, it, out):
+            out.append(" ")
+        added = _do_process(w2, it, out)
+    else:
+        x = _remove_numbers(word)
+        if _is_password_key(x):
+            next(it, None)  # consume the next word
+            out.append(x)
+        elif _blen(x) > 3:
+            out.append(x)
+        else:
+            added = False
+    return added
+
+
+@lru_cache(maxsize=1 << 20)
+def process(line: str) -> str:
+    """Tokenize one line (reference entry point tokenizer.rs:588-608)."""
+    line = line.strip()
+    if global_filter(line):
+        return "%GL_FILTER"
+    out: list[str] = []
+    it = iter(_WORDS_RE.split(line))
+    for word in it:
+        if _do_process(word, it, out):
+            out.append(" ")
+    return "".join(out).rstrip()
+
+
+def dedup_key(tokens: str) -> str:
+    """Order-insensitive dedup key of a tokenized line.
+
+    Reference: UnorderedLine (crates/model/src/unordered.rs:9-22) = the
+    sorted non-%-prefixed words.  Serialized as a single space-joined
+    string so it can live in a DataFrame column.
+    """
+    return " ".join(sorted(w for w in tokens.split(" ") if not w.startswith("%")))
+
+
+# --- pandas / Spark integration ---------------------------------------------
+
+
+def process_series(s):
+    """Vectorized tokenize over a pandas Series (batch-level dedup + cache)."""
+    import pandas as pd
+
+    uniq = s.dropna().unique()
+    mapping = {u: process(u) for u in uniq}
+    return s.map(mapping).astype("object").where(s.notna(), None)
+
+
+def dedup_key_series(s):
+    uniq = s.dropna().unique()
+    mapping = {u: dedup_key(u) for u in uniq}
+    return s.map(mapping).astype("object").where(s.notna(), None)
+
+
+def tokenize_udf():
+    """Returns a pandas UDF column function: text -> tokens."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _tokenize(s):  # pragma: no cover - executed on executors
+        return process_series(s)
+
+    return _tokenize
+
+
+def dedup_key_udf():
+    """Returns a pandas UDF column function: tokens -> dedup key."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dedup(s):  # pragma: no cover - executed on executors
+        return dedup_key_series(s)
+
+    return _dedup
