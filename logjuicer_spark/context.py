@@ -1,0 +1,229 @@
+"""Per-conversation anomaly extraction with context assembly.
+
+This reproduces, per conversation, the observable semantics of the
+reference's ChunkProcessor (/root/reference/crates/model/src/process.rs:126-436):
+
+- lines stream in order; non-ignored lines enter a raw buffer
+- lines whose token-set is new to the (tool-)group are "targets"; a chunk is
+  flushed when 512 targets accumulate, when a duplicate arrives with more
+  than 5120 buffered lines, or at end of stream        (process.rs:26,283-295)
+- an anomaly is a target with cosine distance > 0.3    (process.rs:20,320)
+- before-context: up to 3 lines, extended to 12 when the previous
+  anomaly/context ended fewer than 12 buffered lines back, never overlapping
+  the previous context; backfilled from the previous chunk's left-overs at
+  buffer start                                         (process.rs:443-474,419-436)
+- after-context: up to 3 lines, truncated by the next anomaly
+                                                       (process.rs:334-357,402-415)
+- a globally duplicate anomaly is silently dropped (it still consumed its
+  buffer slot but leaves no context trace)             (process.rs:359-363)
+
+Scores arrive precomputed (the enrich stage scored each distinct
+(group, tokens) once against the broadcast index), so this stage is pure
+bookkeeping: numpy mask work plus a Python walk that only touches chunk
+boundaries and anomaly neighbourhoods.
+
+Chunk boundaries are OBSERVABLE in the reference's output (a chunk start
+resets the buffer-relative context positions, re-arming the 12-line extended
+context), so we emulate them exactly rather than pretending the buffer is
+infinite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CTX_LENGTH = 3  # process.rs:22
+BETWEEN_CTX_LENGTH = 12  # process.rs:24
+CHUNK_SIZE = 512  # process.rs:26
+FLUSH_GUARD = CHUNK_SIZE * 10  # process.rs:289
+THRESHOLD = np.float32(0.3)  # process.rs:20
+
+
+class _ChunkState:
+    """Mutable cross-chunk state (current open anomaly + left-overs)."""
+
+    __slots__ = ("current", "left_overs", "anomalies")
+
+    def __init__(self):
+        self.current = None  # open anomaly dict
+        self.left_overs: list[str] = []
+        self.anomalies: list[dict] = []
+
+    def close_current(self):
+        if self.current is not None:
+            self.anomalies.append(self.current)
+            self.current = None
+
+
+def _collect_before(bt, last_context_pos, buf_texts, left_overs):
+    # process.rs:443-474
+    ctx = BETWEEN_CTX_LENGTH if bt - last_context_pos < BETWEEN_CTX_LENGTH else CTX_LENGTH
+    min_pos = bt - ctx if bt >= ctx else 0
+    start = max(last_context_pos, min_pos)
+    before = list(buf_texts[start:bt])
+    if start == 0 and len(before) < ctx:
+        need = ctx - len(before)
+        want = min(need, len(left_overs))
+        if want:
+            before = list(left_overs[len(left_overs) - want :]) + before
+    return before
+
+
+def _process_chunk(state, buf_local, buf_texts, tgt_bpos, tgt_scores, tgt_emit, positions):
+    """One do_search_anomalies pass (process.rs:311-436).
+
+    buf_local: local line indices of buffered lines (conv-relative)
+    buf_texts: their raw texts
+    tgt_bpos:  buffer positions of this chunk's targets (unique lines)
+    tgt_scores/tgt_emit: distance + global-dedup verdict per target
+    positions: line numbers (pos) per buffered line
+    """
+    m = len(buf_local)
+    last_context_pos = 0
+    buffer_pos = 0
+    anomalous = tgt_scores > THRESHOLD
+
+    for k in range(len(tgt_bpos)):
+        bt = int(tgt_bpos[k])
+        is_anomaly = bool(anomalous[k])
+        # fast path: nothing open and target not anomalous -> the scan would
+        # only advance buffer_pos
+        if state.current is None and not is_anomaly:
+            buffer_pos = bt + 1
+            continue
+        target_found = False
+        while buffer_pos <= bt:
+            j = buffer_pos
+            buffer_pos += 1
+            found = j == bt
+            if found and is_anomaly:
+                target_found = True
+            elif state.current is not None:
+                cur = state.current
+                cur["after"].append(buf_texts[j])
+                if len(cur["after"]) >= CTX_LENGTH:
+                    state.close_current()
+                last_context_pos = buffer_pos
+            if found:
+                break
+        if target_found:
+            state.close_current()
+            if not tgt_emit[k]:
+                continue  # global duplicate: silently dropped
+            before = _collect_before(bt, last_context_pos, buf_texts, state.left_overs)
+            last_context_pos = bt + 1
+            state.current = {
+                "idx": int(buf_local[bt]),
+                "pos": int(positions[bt]),
+                "distance": float(tgt_scores[k]),
+                "line": buf_texts[bt],
+                "before": before,
+                "after": [],
+            }
+
+    # trailing after-context for the still-open anomaly (process.rs:401-415)
+    if state.current is not None and last_context_pos < m:
+        for j in range(last_context_pos, m):
+            state.current["after"].append(buf_texts[j])
+            if len(state.current["after"]) >= CTX_LENGTH:
+                state.close_current()
+                break
+
+    # reset: keep left-overs (process.rs:419-436)
+    min_lo = 0 if m < BETWEEN_CTX_LENGTH else m - BETWEEN_CTX_LENGTH
+    lo = max(last_context_pos, min_lo)
+    state.left_overs = list(buf_texts[lo:m])
+
+
+def find_anomalies(
+    texts,
+    positions,
+    is_ignored,
+    is_target,
+    scores,
+    emit_ok=None,
+):
+    """Run the full per-conversation extraction.
+
+    Parameters (parallel arrays over the conversation's lines, in order):
+      texts      raw line texts (list[str])
+      positions  line numbers (turn_idx), may repeat for sub-lines
+      is_ignored bool array -- ignore_patterns matches (skipped entirely,
+                 they consume a position but never enter the buffer)
+      is_target  bool array -- first occurrence of the token-set within the
+                 group (per-group KnownLines dedup, process.rs:270-277)
+      scores     f32 array -- distance of the line's tokens to the baseline
+                 (only read where is_target)
+      emit_ok    bool array or None -- global-dedup verdict (None = all ok)
+
+    Returns list of anomaly dicts: idx (line offset in the conv), pos,
+    distance, line, before[], after[].
+    """
+    n = len(texts)
+    is_ignored = np.asarray(is_ignored, dtype=bool)
+    is_target = np.asarray(is_target, dtype=bool) & ~is_ignored
+    scores = np.asarray(scores, dtype=np.float32)
+    if emit_ok is None:
+        emit = np.ones(n, dtype=bool)
+    else:
+        emit = np.asarray(emit_ok, dtype=bool)
+    positions = np.asarray(positions)
+
+    # buffered lines = non-ignored lines, in order
+    buf_all = np.flatnonzero(~is_ignored)
+    if len(buf_all) == 0:
+        return []
+    tgt_mask_buf = is_target[buf_all]  # per buffered line
+    state = _ChunkState()
+
+    # --- chunk boundary computation (process.rs:283-295) ---
+    # within the rolling buffer: flush after the 512th target line, or at a
+    # duplicate line when the buffer holds > 5120 lines, or at end of stream
+    # (only if the chunk has targets; a trailing targetless buffer is
+    # discarded except for closing the open anomaly).
+    texts_arr = texts if isinstance(texts, list) else list(texts)
+    start = 0  # buffer start (index into buf_all)
+    nbuf = len(buf_all)
+    tgt_cum = np.cumsum(tgt_mask_buf)
+    dup_pos = np.flatnonzero(~tgt_mask_buf)  # buffered positions of duplicates
+
+    while start < nbuf:
+        base = tgt_cum[start - 1] if start > 0 else 0
+        # position of the 512th target at/after start
+        k = np.searchsorted(tgt_cum, base + CHUNK_SIZE)
+        # first duplicate position making buffer len > FLUSH_GUARD
+        d_i = np.searchsorted(dup_pos, start + FLUSH_GUARD)
+        flush_at = None
+        if k < nbuf:
+            flush_at = int(k)
+        if d_i < len(dup_pos):
+            cand = int(dup_pos[d_i])
+            if flush_at is None or cand < flush_at:
+                flush_at = cand
+        if flush_at is None:
+            # end of stream: flush only if there are targets left
+            if tgt_cum[nbuf - 1] - base > 0:
+                flush_at = nbuf - 1
+            else:
+                break
+        end = flush_at + 1  # buffer = buf_all[start:end]
+        sel = buf_all[start:end]
+        buf_texts = [texts_arr[i] for i in sel]
+        tmask = tgt_mask_buf[start:end]
+        tpos = np.flatnonzero(tmask)
+        tloc = sel[tpos]
+        _process_chunk(
+            state,
+            sel,
+            buf_texts,
+            tpos,
+            scores[tloc],
+            emit[tloc],
+            positions[sel],
+        )
+        start = end
+
+    # end of stream: close the open anomaly without more context
+    # (process.rs:302-306)
+    state.close_current()
+    return state.anomalies
