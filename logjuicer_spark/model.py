@@ -1,0 +1,177 @@
+"""Baseline model: train / persist / load / merge / broadcast.
+
+Reference semantics (/root/reference/crates/model/src/model.rs):
+- train: group baseline sources by IndexName (here: the ``tool`` column),
+  tokenize, dedup by unordered token-set (KnownLines, first occurrence
+  wins), build one L2-normalized hashed-feature matrix per group
+  (model.rs:475-540, process.rs:29-121, index.rs:130-148)
+- persist with a model version cookie, refuse mismatched versions on load
+  (MODEL_VERSION, model.rs:50-53,793-852) -> parquet rows + version column
+- merge (mappend/mconcat, model.rs:118-217): union of rows with
+  duplicate-row elimination; we merge at token-set level before
+  vectorizing, which yields the same matrix rows (vstack.rs:10-47)
+- lookup: a model with exactly ONE index matches any group key
+  (lookup_or_single, model.rs:857-869)
+
+Spark realization: the dedup is a partial-aggregatable groupBy (min-struct
+per (group, dkey) -- map-side combine keeps hot token-sets from skewing a
+window sort), matrix building is applyInPandas per group, and the trained
+model is broadcast to executors for the scoring stage.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import MODEL_VERSION
+from .hashing import SparseIndex
+from .schemas import MODEL
+
+
+def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
+    """Build the model table from a parsed baseline DataFrame.
+
+    Input columns (from pipeline.parse): conv_id, turn_idx, sub_idx, text,
+    tokens, dkey, is_ignored, <group_col>.
+    Returns a DataFrame with the MODEL schema.
+    """
+    rows = parsed_baseline.filter(~F.col("is_ignored"))
+
+    # per-group line/byte counters (trainer counts every non-ignored read
+    # line, pre-dedup: process.rs:68-69)
+    counters = rows.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(F.octet_length("text")).alias("byte_count"),
+    )
+
+    # KnownLines dedup: first occurrence of each unordered token-set within
+    # the group, under stable (conv_id, turn_idx, sub_idx) order.
+    winners = (
+        rows.groupBy(F.col(group_col).alias("group_key"), "dkey")
+        .agg(
+            F.min(F.struct("conv_id", "turn_idx", "sub_idx", "tokens")).alias("w")
+        )
+        .select(
+            "group_key",
+            F.col("w.conv_id").alias("conv_id"),
+            F.col("w.turn_idx").alias("turn_idx"),
+            F.col("w.sub_idx").alias("sub_idx"),
+            F.col("w.tokens").alias("tokens"),
+        )
+    )
+
+    build_schema = (
+        "group_key string, row_id int, indices array<int>, values array<float>"
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "sub_idx"], kind="stable")
+        group = pdf["group_key"].iloc[0]
+        idx = SparseIndex.from_token_lines(pdf["tokens"].tolist())
+        rows_out = idx.to_rows()
+        return pd.DataFrame(
+            {
+                "group_key": [group] * len(rows_out),
+                "row_id": [r[0] for r in rows_out],
+                "indices": [r[1] for r in rows_out],
+                "values": [r[2] for r in rows_out],
+            }
+        )
+
+    built = winners.groupBy("group_key").applyInPandas(_build, schema=build_schema)
+    created = _dt.datetime.now(tz=_dt.timezone.utc)
+    return (
+        built.join(counters, "group_key", "left")
+        .withColumn("model_version", F.lit(MODEL_VERSION))
+        .withColumn("created_at", F.lit(created))
+        .select([f.name for f in MODEL.fields])
+    )
+
+
+def save(model_df: DataFrame, path: str) -> None:
+    from .storage import write_table
+
+    write_table(model_df, path, partition_by=["group_key"])
+
+
+def load(spark: SparkSession, path: str, max_age_days: float | None = None) -> DataFrame:
+    """Load + validate a persisted model (version cookie, optional max age:
+    model.rs:793-852, report.rs:519-535)."""
+    from .storage import read_table
+
+    df = read_table(spark, path)
+    bad = df.filter(F.col("model_version") != MODEL_VERSION).limit(1).count()
+    if bad:
+        raise ValueError(f"model at {path} has a different model_version (want {MODEL_VERSION})")
+    if max_age_days is not None:
+        cutoff = _dt.datetime.now(tz=_dt.timezone.utc) - _dt.timedelta(days=max_age_days)
+        old = df.filter(F.col("created_at") < F.lit(cutoff)).limit(1).count()
+        if old:
+            raise ValueError(f"model at {path} is older than {max_age_days} days")
+    return df
+
+
+def merge(model_dfs: list[DataFrame]) -> DataFrame:
+    """mconcat of persisted models (model.rs:158-217): per-group union of
+    rows with duplicate elimination (first model wins), row ids recomputed.
+
+    Duplicate rows are detected on the (indices, values) payload, the
+    vectorized equivalent of nub_vstack's row signature (vstack.rs:10-47).
+    """
+    from functools import reduce
+
+    unioned = reduce(
+        DataFrame.unionByName,
+        [
+            df.withColumn("m_ord", F.lit(i)).select(
+                "group_key", "row_id", "indices", "values", "m_ord",
+                "line_count", "byte_count", "created_at",
+            )
+            for i, df in enumerate(model_dfs)
+        ],
+    )
+    w_first = (
+        unioned.groupBy("group_key", "indices", "values")
+        .agg(
+            F.min(F.struct("m_ord", "row_id")).alias("w"),
+            F.first("line_count").alias("line_count"),
+            F.first("byte_count").alias("byte_count"),
+            F.min("created_at").alias("created_at"),
+        )
+    )
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("group_key").orderBy("w.m_ord", "w.row_id")
+    return (
+        w_first.withColumn("row_id", (F.row_number().over(order) - 1).cast("int"))
+        .withColumn("model_version", F.lit(MODEL_VERSION))
+        .select([f.name for f in MODEL.fields])
+    )
+
+
+def collect_indexes(model_df: DataFrame) -> dict[str, SparseIndex]:
+    """Collect the model to the driver as {group_key: SparseIndex}."""
+    pdf = model_df.select("group_key", "row_id", "indices", "values").toPandas()
+    out: dict[str, SparseIndex] = {}
+    for group, g in pdf.groupby("group_key"):
+        out[group] = SparseIndex.from_rows(
+            list(zip(g["row_id"], g["indices"], g["values"]))
+        )
+    return out
+
+
+def broadcast_indexes(spark: SparkSession, indexes: dict[str, SparseIndex]):
+    return spark.sparkContext.broadcast(indexes)
+
+
+def lookup(indexes: dict[str, SparseIndex], group_key):
+    """Index lookup with the single-index fallback (model.rs:857-869)."""
+    idx = indexes.get(group_key)
+    if idx is None and len(indexes) == 1:
+        return next(iter(indexes.values()))
+    return idx

@@ -1,0 +1,347 @@
+"""The parse -> enrich -> route -> aggregate pipeline.
+
+Spark-first realization of the reference's report flow
+(/root/reference/crates/model/src/model.rs:601-751 + process.rs:126-436),
+per SURVEY.md §3 E1/E2:
+
+  parse:    sub-line explode + length cap + tokenize (pandas UDF) +
+            JVM-side dedup key + ignore predicate
+  enrich:   (a) per-(group, token-set) first-occurrence winners via a
+            partial-aggregatable groupBy (NOT a window: hot token-sets
+            would serialize a window sort; min-struct combines map-side),
+            (b) winners scored against the broadcast baseline index,
+            (c) scores joined back on (group, dkey) -- AQE handles skew
+            and broadcasts the scored side when small,
+            (d) global-dedup winners (anomalous token-sets) broadcast-joined
+  route:    groupBy(conv_id) -> applyInPandas running the exact
+            chunk/context emulation (context.py); fan-out anomalous vs
+            normal vs unknown rows
+  aggregate: per-conv and per-tool counts, mean distances, score histogram
+
+Scale notes (the 100 TB design point):
+- every aggregation here partial-aggregates map-side; the only wide
+  exchanges are (tool, dkey) for dedup/enrich and conv_id for contexts
+- if the input table is bucketed/sorted by conv_id (Iceberg bucket
+  transform), the route shuffle disappears via storage-partitioned join
+- extremely long conversations are the skew risk for the route stage;
+  route_bucketed() range-buckets monster convs with a 12-line overlap pad
+  (the reference's left_overs trick reborn as boundary padding)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .context import find_anomalies
+from .hashing import THRESHOLD
+from .schemas import ROUTED
+from .score import SCORED_SCHEMA, make_score_fn
+from .tokenizer import tokenize_udf
+from . import model as model_mod
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    group_col: str = "tool"
+    ignore_patterns: tuple = ()
+    skip_duplicate: bool = True  # config.rs:168-172 (default true)
+    explode_sublines: bool = True
+    max_line_bytes: int = 6000  # iterator.rs:155-157
+    threshold: float = 0.3  # process.rs:20
+
+
+# --------------------------------------------------------------------------
+# parse
+# --------------------------------------------------------------------------
+
+# literal \n / \r sub-line separators (iterator.rs:253-287) plus real
+# newlines (line boundaries in the file world)
+_SUBLINE_SEP = "\\\\[nr]|\r\n|\n|\r"
+
+
+def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Project the turns table to sub-line grain with tokens + dedup key."""
+    df = turns
+    if cfg.explode_sublines:
+        stripped = F.regexp_replace("text", "(\r\n|\n|\r)$", "")
+        df = (
+            df.withColumn("_parts", F.split(stripped, _SUBLINE_SEP))
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "tool",
+                "ts",
+                F.posexplode("_parts").alias("sub_idx", "text"),
+            )
+        )
+    else:
+        df = df.select(
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            F.lit(0).alias("sub_idx"), "text",
+        )
+    # max line length: longer lines are dropped entirely (iterator.rs:155-157)
+    df = df.filter(F.octet_length("text") <= cfg.max_line_bytes)
+
+    if cfg.ignore_patterns:
+        ignored = None
+        for p in cfg.ignore_patterns:
+            m = F.regexp_like("text", F.lit(p))
+            ignored = m if ignored is None else (ignored | m)
+        df = df.withColumn("is_ignored", ignored)
+    else:
+        df = df.withColumn("is_ignored", F.lit(False))
+
+    df = df.withColumn("tokens", tokenize_udf()(F.col("text")))
+    # unordered dedup key (unordered.rs:9-22), computed JVM-side:
+    # sorted non-%-prefixed words
+    df = df.withColumn(
+        "dkey",
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split("tokens", " "),
+                    lambda w: ~w.startswith("%"),
+                )
+            ),
+            " ",
+        ),
+    )
+    return df
+
+
+# --------------------------------------------------------------------------
+# enrich
+# --------------------------------------------------------------------------
+
+
+def enrich(
+    parsed: DataFrame,
+    bc_indexes,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> DataFrame:
+    """Attach is_known / is_target / score / emit_ok to every parsed row."""
+    group = cfg.group_col
+    known_keys = list(bc_indexes.value.keys())
+    single_index = len(known_keys) == 1  # lookup_or_single, model.rs:857-869
+
+    if single_index:
+        is_known = F.lit(True)
+    else:
+        is_known = F.col(group).isin(known_keys)
+    parsed = parsed.withColumn("is_known", is_known)
+
+    eligible = parsed.filter(F.col("is_known") & ~F.col("is_ignored"))
+    winners = (
+        eligible.groupBy(F.col(group).alias("tool"), "dkey")
+        .agg(F.min(F.struct("conv_id", "turn_idx", "sub_idx", "tokens")).alias("w"))
+        .select(
+            "tool",
+            "dkey",
+            F.col("w.conv_id").alias("conv_id"),
+            F.col("w.turn_idx").alias("turn_idx"),
+            F.col("w.sub_idx").alias("sub_idx"),
+            F.col("w.tokens").alias("tokens"),
+        )
+    )
+    scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
+    scored = scored.persist()
+
+    j = parsed.join(
+        scored.select(
+            F.col("tool").alias("_w_tool"),
+            F.col("dkey").alias("_w_dkey"),
+            F.col("conv_id").alias("_w_conv"),
+            F.col("turn_idx").alias("_w_turn"),
+            F.col("sub_idx").alias("_w_sub"),
+            "score",
+        ),
+        on=[
+            parsed[group] == F.col("_w_tool"),
+            parsed["dkey"] == F.col("_w_dkey"),
+        ],
+        how="left",
+    ).drop("_w_tool", "_w_dkey")
+    j = j.withColumn(
+        "is_target",
+        F.col("is_known")
+        & ~F.col("is_ignored")
+        & (F.col("conv_id") == F.col("_w_conv"))
+        & (F.col("turn_idx") == F.col("_w_turn"))
+        & (F.col("sub_idx") == F.col("_w_sub")),
+    ).drop("_w_conv", "_w_turn", "_w_sub")
+
+    if cfg.skip_duplicate:
+        # global dedup dim: first anomalous occurrence of each token-set
+        # across ALL groups (gl_skip_lines, model.rs:606,634; process.rs:359-363)
+        gl = (
+            scored.filter(F.col("score") > cfg.threshold)
+            .groupBy("dkey")
+            .agg(F.min(F.struct("conv_id", "turn_idx", "sub_idx")).alias("g"))
+            .select(
+                F.col("dkey").alias("_g_dkey"),
+                F.col("g.conv_id").alias("_g_conv"),
+                F.col("g.turn_idx").alias("_g_turn"),
+                F.col("g.sub_idx").alias("_g_sub"),
+            )
+        )
+        j = j.join(F.broadcast(gl), j["dkey"] == F.col("_g_dkey"), "left")
+        j = j.withColumn(
+            "emit_ok",
+            F.col("_g_dkey").isNull()
+            | (
+                (F.col("conv_id") == F.col("_g_conv"))
+                & (F.col("turn_idx") == F.col("_g_turn"))
+                & (F.col("sub_idx") == F.col("_g_sub"))
+            ),
+        ).drop("_g_dkey", "_g_conv", "_g_turn", "_g_sub")
+    else:
+        j = j.withColumn("emit_ok", F.lit(True))
+    return j
+
+
+# --------------------------------------------------------------------------
+# route
+# --------------------------------------------------------------------------
+
+_ROUTE_COLS = [
+    "conv_id", "turn_idx", "sub_idx", "role", "tool", "ts", "text",
+    "is_ignored", "is_known", "is_target", "score", "emit_ok",
+]
+
+
+def _assemble_conv(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    pdf = pdf.sort_values(["turn_idx", "sub_idx"], kind="stable").reset_index(drop=True)
+    n = len(pdf)
+    route = np.full(n, "normal", dtype=object)
+    known = pdf["is_known"].to_numpy(dtype=bool)
+    route[~known] = "unknown"
+    before = [None] * n
+    after = [None] * n
+    scores_out = pdf["score"].to_numpy(dtype="float32", na_value=np.nan).copy()
+    scores_out[~(pdf["is_target"].to_numpy(dtype=bool))] = np.nan
+
+    proc = np.flatnonzero(known)
+    if len(proc):
+        sub = pdf.iloc[proc]
+        tgt = sub["is_target"].to_numpy(dtype=bool)
+        sc = sub["score"].to_numpy(dtype="float32", na_value=np.nan)
+        sc = np.where(np.isnan(sc), np.float32(0.0), sc).astype(np.float32)
+        if (sc[tgt] > np.float32(threshold)).any():
+            anomalies = find_anomalies(
+                sub["text"].tolist(),
+                sub["turn_idx"].to_numpy(),
+                sub["is_ignored"].to_numpy(dtype=bool),
+                tgt,
+                sc,
+                sub["emit_ok"].to_numpy(dtype=bool),
+            )
+            for a in anomalies:
+                gi = proc[a["idx"]]
+                route[gi] = "anomaly"
+                before[gi] = a["before"]
+                after[gi] = a["after"]
+
+    out = pdf[["conv_id", "turn_idx", "sub_idx", "role", "tool", "ts", "text"]].copy()
+    out["route"] = route
+    out["score"] = scores_out
+    out["before"] = before
+    out["after"] = after
+    return out
+
+
+def route(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Per-conversation context assembly + fan-out labels."""
+    threshold = cfg.threshold
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _assemble_conv(pdf, threshold)
+
+    return (
+        enriched.select(*_ROUTE_COLS)
+        .groupBy("conv_id")
+        .applyInPandas(fn, schema=ROUTED)
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregate
+# --------------------------------------------------------------------------
+
+
+def aggregate(routed: DataFrame) -> dict[str, DataFrame]:
+    is_anom = (F.col("route") == "anomaly").cast("long")
+    agg_conv = routed.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(F.octet_length("text")).alias("byte_count"),
+        F.sum(is_anom).alias("anomaly_count"),
+        F.avg(F.when(F.col("route") == "anomaly", F.col("score"))).alias("mean_score"),
+    )
+    agg_tool = routed.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(is_anom).alias("anomaly_count"),
+    )
+    score_hist = (
+        routed.filter(F.col("route") == "anomaly")
+        .select(
+            F.least(F.floor(F.col("score") * 20).cast("int"), F.lit(19)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    totals = routed.agg(
+        F.count(F.lit(1)).alias("total_line_count"),
+        F.sum(is_anom).alias("total_anomaly_count"),
+    )
+    return {
+        "agg_conv": agg_conv,
+        "agg_tool": agg_tool,
+        "score_hist": score_hist,
+        "totals": totals,
+    }
+
+
+# --------------------------------------------------------------------------
+# end-to-end runs
+# --------------------------------------------------------------------------
+
+
+def train_model(
+    spark: SparkSession,
+    baseline_turns: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> DataFrame:
+    return model_mod.train(parse(baseline_turns, cfg), group_col=cfg.group_col)
+
+
+def run(
+    spark: SparkSession,
+    target_turns: DataFrame,
+    baseline_turns: DataFrame | None = None,
+    model_df: DataFrame | None = None,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> dict[str, DataFrame]:
+    """Full diff-style run (E1/E2): train (or load) then report.
+
+    Returns dict with routed, anomalies, normal, unknown + aggregates.
+    """
+    if model_df is None:
+        if baseline_turns is None:
+            raise ValueError("need baseline_turns or model_df")
+        model_df = train_model(spark, baseline_turns, cfg)
+    indexes = model_mod.collect_indexes(model_df)
+    bc = model_mod.broadcast_indexes(spark, indexes)
+
+    parsed = parse(target_turns, cfg)
+    enriched = enrich(parsed, bc, cfg)
+    routed = route(enriched, cfg)
+    out = {"routed": routed, "model": model_df}
+    out["anomalies"] = routed.filter(F.col("route") == "anomaly")
+    out["normal"] = routed.filter(F.col("route") == "normal")
+    out["unknown"] = routed.filter(F.col("route") == "unknown")
+    out.update(aggregate(routed))
+    return out

@@ -1,0 +1,129 @@
+"""End-to-end pipeline tests: Spark engine vs (a) the injected anomaly set
+and (b) the naive sequential oracle (tests/reference_impl.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logjuicer_spark import gen, pipeline
+from logjuicer_spark.pipeline import PipelineConfig
+
+from reference_impl import naive_report
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen.generate_corpus(
+        n_baseline_convs=4, n_target_convs=6, turns_per_conv=40, seed=42
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    baseline_rows, target_rows, expected = corpus
+    baseline = gen.to_spark_df(spark, baseline_rows)
+    target = gen.to_spark_df(spark, target_rows)
+    out = pipeline.run(spark, target, baseline_turns=baseline)
+    routed = out["routed"].cache()
+    anomalies = (
+        routed.filter(F.col("route") == "anomaly")
+        .orderBy("conv_id", "turn_idx", "sub_idx")
+        .collect()
+    )
+    return out, routed, anomalies
+
+
+def test_anomaly_set_matches_injected(result, corpus):
+    _, _, anomalies = result
+    expected = corpus[2]
+    got = {(a.conv_id, a.turn_idx, a.text) for a in anomalies}
+    assert got == set(expected)
+
+
+def test_matches_naive_oracle(result, corpus):
+    baseline_rows, target_rows, _ = corpus
+    _, _, anomalies = result
+    oracle = naive_report(baseline_rows, target_rows)
+    oracle_sorted = sorted(oracle, key=lambda a: (a["conv_id"], a["pos"]))
+    assert len(anomalies) == len(oracle_sorted)
+    for got, exp in zip(anomalies, oracle_sorted):
+        assert got.conv_id == exp["conv_id"]
+        assert got.turn_idx == exp["pos"]
+        assert got.text == exp["line"]
+        assert got.score == pytest.approx(exp["distance"], abs=1e-6)
+        assert list(got.before) == exp["before"]
+        assert list(got.after) == exp["after"]
+
+
+def test_routed_partition(result, corpus, spark):
+    _, routed, _ = result
+    target_rows = corpus[1]
+    # sub-line explode is a no-op on this corpus (no newlines) -> row parity
+    assert routed.count() == len(target_rows)
+    routes = {r.route for r in routed.select("route").distinct().collect()}
+    assert routes <= {"anomaly", "normal", "unknown"}
+    assert routed.filter(F.col("route") == "unknown").count() == 0
+
+
+def test_aggregates(result, corpus):
+    out, routed, anomalies = result
+    agg_conv = {r.conv_id: r for r in out["agg_conv"].collect()}
+    by_conv = {}
+    for a in anomalies:
+        by_conv[a.conv_id] = by_conv.get(a.conv_id, 0) + 1
+    for conv_id, row in agg_conv.items():
+        assert row.anomaly_count == by_conv.get(conv_id, 0)
+        assert row.line_count == 40
+    totals = out["totals"].collect()[0]
+    assert totals.total_anomaly_count == len(anomalies)
+    assert totals.total_line_count == routed.count()
+    hist = out["score_hist"].agg(F.sum("count")).collect()[0][0]
+    assert hist == len(anomalies)
+
+
+def test_scores_above_threshold(result):
+    _, _, anomalies = result
+    for a in anomalies:
+        assert a.score > 0.3
+
+
+def test_extended_context_conv(result):
+    # tgt-001 has anomalies at turns 10 and 15 (< 12 apart): the second one
+    # must carry the extended before-context chained after the first's after
+    _, _, anomalies = result
+    conv = [a for a in anomalies if a.conv_id == "tgt-001"]
+    assert [a.turn_idx for a in conv] == [10, 15]
+    first, second = conv
+    # first anomaly is < 12 lines from conv start -> extended window reaches
+    # back to the start: all 9 preceding turns; after-context is 3
+    assert len(first.before) == 9 and len(first.after) == 3
+    # second anomaly chains: first's after-context consumed turns 11-13, so
+    # only turn 14 is available as (extended) before-context
+    assert len(second.before) == 1
+    assert len(second.after) == 3
+
+
+def test_sublines_and_length_cap(spark):
+    rows = [
+        {
+            "conv_id": "c1",
+            "turn_idx": 1,
+            "role": "user",
+            "text": "first line\nsecond piece\\nthird piece",
+            "tool": "bash",
+            "ts": None,
+        },
+        {
+            "conv_id": "c1",
+            "turn_idx": 2,
+            "role": "user",
+            "text": "x" * 7000,
+            "tool": "bash",
+            "ts": None,
+        },
+    ]
+    df = gen.to_spark_df(spark, rows)
+    parsed = pipeline.parse(df)
+    got = parsed.orderBy("turn_idx", "sub_idx").collect()
+    assert [r.text for r in got] == ["first line", "second piece", "third piece"]
+    assert [r.sub_idx for r in got] == [0, 1, 2]
