@@ -1,0 +1,346 @@
+"""Driver-contract queries over /root/testdata tables.
+
+Each ``q_*`` builder takes (spark, sf_dir) and returns a DataFrame; the
+matching entry in ORACLE_SQL is ANSI SQL that DuckDB evaluates to the same
+multiset of rows (column names aligned, floats rounded). Queries map to the
+operator inventory of SURVEY.md §2; the non-SQL-expressible ones (tokenizer,
+scoring, minhash, the flagship pipeline) have no oracle entry and get the
+driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# the deterministic events -> turns mapping (shared by entry() and queries)
+# --------------------------------------------------------------------------
+
+def turns_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic events -> transcript mapping: conversation per user,
+    tool = executor node (the per-tool baseline dimension), text a log-ish
+    rendering. The baseline slice is even users WITHOUT their error events,
+    so target error lines are genuinely novel to the model."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chan = F.element_at(
+        F.array(F.lit("alpine"), F.lit("breeze"), F.lit("copper"), F.lit("dunes")),
+        (F.expr("user_id div 2") % 4 + 1).cast("int"),
+    )
+    return ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("signup", "login"), "user")
+        .when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" channel "),
+            chan,
+            F.lit(" bucket-"),
+            F.floor("value").cast("bigint").cast("string"),
+            F.lit(" "),
+            F.col("props"),
+        ).alias("text"),
+        F.concat(F.lit("node-"), (F.expr("user_id div 2") % 4).cast("string")).alias("tool"),
+        F.col("ts"),
+        F.col("event_type").alias("etype"),
+        (F.col("user_id") % 2 == 0).alias("is_baseline"),
+    )
+
+
+_TURNS_SQL = """
+SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_idx,
+       CASE WHEN event_type IN ('signup','login') THEN 'user'
+            WHEN event_type = 'purchase' THEN 'assistant'
+            ELSE 'tool' END AS role,
+       event_type || ' channel ' ||
+         (['alpine','breeze','copper','dunes'])[CAST((user_id // 2) % 4 + 1 AS INT)] ||
+         ' bucket-' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || ' ' || props AS text,
+       'node-' || CAST((user_id // 2) % 4 AS VARCHAR) AS tool,
+       ts,
+       event_type AS etype,
+       (user_id % 2 = 0) AS is_baseline
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# oracle-checked queries (operator inventory)
+# --------------------------------------------------------------------------
+
+def q_turns_parse(spark, sf_dir):
+    """S1/S5: scan + projection + stable turn ordering."""
+    return turns_view(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_subline_explode(spark, sf_dir):
+    """S1 sub-line split: explode documents into sentence pieces."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("piece")
+    )
+
+
+def q_filter_lines(spark, sf_dir):
+    """F1/F2: include/exclude regex filter + length cap (6000 -> 200 here)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        (F.octet_length("text") <= 200)
+        & ~F.regexp_like("source", F.lit("^(web|crawl)$"))
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_dedup_first(spark, sf_dir):
+    """F6/U3 skip-lines dedup: first event per (user, type) under stable
+    order — expressed as the skew-safe min-struct aggregation the pipeline
+    uses (not a window sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("w"))
+        .select("user_id", "event_type", F.col("w.event_id").alias("event_id"))
+    )
+
+
+def q_context_window(spark, sf_dir):
+    """W1/W2 before/after context: 3 lags + 3 leads around error events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_id", 1).over(w).alias("before1"),
+        F.lag("event_id", 2).over(w).alias("before2"),
+        F.lag("event_id", 3).over(w).alias("before3"),
+        F.lead("event_id", 1).over(w).alias("after1"),
+        F.lead("event_id", 2).over(w).alias("after2"),
+        F.lead("event_id", 3).over(w).alias("after3"),
+    )
+    return d.filter(F.col("event_type") == "error").drop("event_type")
+
+
+def q_agg_counts(spark, sf_dir):
+    """A1/A2/A3: per-conv line/byte/anomaly-ish counters."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(F.octet_length("props")).alias("byte_count"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("error_count"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+def q_score_hist(spark, sf_dir):
+    """A6 score histogram: width-bucketed counts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(19)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def q_topk_discovery(spark, sf_dir):
+    """S9/W5/K3 baseline discovery: best-scored candidate per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+    )
+
+
+def q_enrich_join(spark, sf_dir):
+    """J1/J3 lookup enrich: broadcast-join facts against small dims."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_similarity_cooc(spark, sf_dir):
+    """J4/U3 similarity report: identical payloads seen by >1 conversation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", "props")
+        .agg(F.countDistinct("user_id").alias("nusers"))
+        .filter(F.col("nusers") > 1)
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact duplicate detection: md5-keyed groups over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def q_textstats(spark, sf_dir):
+    """Text quality scoring: word/char counts + token-ish counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars_m"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z0-9_]+"), 0)).alias("n_tokens"),
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine similarity of every embedding to vec_id 0."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    j = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("emb", "qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )  # noqa: E731
+    return j.select(
+        "vec_id",
+        F.round(dot / (nrm(F.col("emb")) * nrm(F.col("qemb"))), 4).alias("cos_sim"),
+    )
+
+
+ORACLE_SQL = {
+    "q_turns_parse": f"SELECT conv_id, turn_idx, role, text, tool FROM ({_TURNS_SQL}) t",
+    "q_subline_explode": (
+        "SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS piece FROM documents"
+    ),
+    "q_filter_lines": (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE strlen(text) <= 200 AND NOT regexp_matches(source, '^(web|crawl)$')"
+    ),
+    "q_dedup_first": (
+        "SELECT user_id, event_type, event_id FROM ("
+        " SELECT user_id, event_type, event_id,"
+        "        row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn"
+        " FROM events) WHERE rn = 1"
+    ),
+    "q_context_window": (
+        "SELECT user_id, event_id, before1, before2, before3, after1, after2, after3 FROM ("
+        " SELECT user_id, event_id, event_type,"
+        "  lag(event_id, 1) OVER w AS before1, lag(event_id, 2) OVER w AS before2,"
+        "  lag(event_id, 3) OVER w AS before3, lead(event_id, 1) OVER w AS after1,"
+        "  lead(event_id, 2) OVER w AS after2, lead(event_id, 3) OVER w AS after3"
+        " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+        " WHERE event_type = 'error'"
+    ),
+    "q_agg_counts": (
+        "SELECT user_id, COUNT(*) AS line_count, SUM(strlen(props)) AS byte_count,"
+        " SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS error_count,"
+        " ROUND(AVG(value), 4) AS mean_value FROM events GROUP BY user_id"
+    ),
+    "q_score_hist": (
+        "SELECT LEAST(CAST(FLOOR(value/50) AS INT), 19) AS bucket, COUNT(*) AS count"
+        " FROM events GROUP BY 1"
+    ),
+    "q_topk_discovery": (
+        "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS best_price FROM ("
+        " SELECT o_custkey, o_orderkey, o_totalprice,"
+        "  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rn"
+        " FROM orders) WHERE rn = 1"
+    ),
+    "q_enrich_join": (
+        "SELECT n_name, COUNT(*) AS order_count, ROUND(SUM(o_totalprice), 2) AS revenue"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "q_similarity_cooc": (
+        "SELECT event_type, props, COUNT(DISTINCT user_id) AS nusers"
+        " FROM events GROUP BY event_type, props HAVING COUNT(DISTINCT user_id) > 1"
+    ),
+    "q_dedup_exact": (
+        "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count"
+        " FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"
+    ),
+    "q_textstats": (
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_words,"
+        " length(text) AS n_chars_m,"
+        " len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n_tokens FROM documents"
+    ),
+    "q_ann_cosine": (
+        "SELECT e.vec_id, ROUND(list_cosine_similarity("
+        "  CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim"
+        " FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q"
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (UDF-bearing; no SQL oracle possible)
+# --------------------------------------------------------------------------
+
+def q_tokenize(spark, sf_dir):
+    """T1-T13: the tokenizer as a vectorized projection over documents."""
+    from .tokenizer import tokenize_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tokenize_udf()(F.col("text")).alias("tokens"))
+
+
+def q_pipeline_anomalies(spark, sf_dir):
+    """E1/E2 flagship: full diff run on the events-derived transcript table."""
+    from . import pipeline
+
+    t = turns_view(spark, sf_dir)
+    baseline = t.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
+        "is_baseline", "etype"
+    )
+    target = t.filter(~F.col("is_baseline")).drop("is_baseline", "etype")
+    out = pipeline.run(spark, target, baseline_turns=baseline)
+    return out["anomalies"].select(
+        "conv_id", "turn_idx", "tool", "text", F.round("score", 4).alias("score")
+    )
+
+
+QUERIES = {
+    "q_turns_parse": q_turns_parse,
+    "q_subline_explode": q_subline_explode,
+    "q_filter_lines": q_filter_lines,
+    "q_dedup_first": q_dedup_first,
+    "q_context_window": q_context_window,
+    "q_agg_counts": q_agg_counts,
+    "q_score_hist": q_score_hist,
+    "q_topk_discovery": q_topk_discovery,
+    "q_enrich_join": q_enrich_join,
+    "q_similarity_cooc": q_similarity_cooc,
+    "q_dedup_exact": q_dedup_exact,
+    "q_textstats": q_textstats,
+    "q_ann_cosine": q_ann_cosine,
+    "q_tokenize": q_tokenize,
+    "q_pipeline_anomalies": q_pipeline_anomalies,
+}
