@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+The flagship is the full parse->enrich->route->aggregate anomaly pipeline
+(north rule: turns/sec end-to-end); the other entries time individual
+operator classes. scripts/scaling_bench.py produces the N-vs-4N scaling
+evidence recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from logjuicer_spark.session import get_spark
+    from logjuicer_spark import entry_queries as eq
+
+    spark = get_spark("logjuicer-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM + python workers with a trivial job
+    spark.range(1000).count()
+
+    n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    anomaly_count = timed(
+        "pipeline_flagship", lambda: eq.q_pipeline_anomalies(spark, sf_dir).count()
+    )
+    timed("tokenize", lambda: eq.q_tokenize(spark, sf_dir).count())
+    timed("turns_parse", lambda: eq.q_turns_parse(spark, sf_dir).count())
+    timed("context_window", lambda: eq.q_context_window(spark, sf_dir).count())
+    timed("agg_counts", lambda: eq.q_agg_counts(spark, sf_dir).count())
+    timed("enrich_join", lambda: eq.q_enrich_join(spark, sf_dir).count())
+    timed("ann_cosine", lambda: eq.q_ann_cosine(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    turns_per_sec = round(n_turns / timings["pipeline_flagship"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries wall time (flagship anomaly pipeline + operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "anomalies": anomaly_count,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -324,22 +324,49 @@ def run(
     baseline_turns: DataFrame | None = None,
     model_df: DataFrame | None = None,
     cfg: PipelineConfig = PipelineConfig(),
+    work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full diff-style run (E1/E2): train (or load) then report.
 
+    Stage outputs (parsed, routed) are checkpointed to ``work_dir`` as
+    parquet: parsed feeds three plan branches (winner aggregation, join
+    probe, route input) and routed feeds four sinks + aggregates, so
+    without a checkpoint the tokenize UDF and the context assembly would
+    re-run per consumer. (DataFrame.persist is NOT used: its in-memory
+    columnar build is slower than a parquet round-trip for wide string
+    rows.) The checkpoints double as the resume points of the lineage
+    design (SURVEY.md §2.10).
+
     Returns dict with routed, anomalies, normal, unknown + aggregates.
     """
-    if model_df is None:
-        if baseline_turns is None:
-            raise ValueError("need baseline_turns or model_df")
-        model_df = train_model(spark, baseline_turns, cfg)
-    indexes = model_mod.collect_indexes(model_df)
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="logjuicer_run_")
+
+    # the target parse and the baseline train are independent job chains:
+    # submit both so Spark can overlap them (the scheduler fills idle slots
+    # of one with tasks of the other)
+    def _parse_target():
+        parse(target_turns, cfg).write.mode("overwrite").parquet(f"{work_dir}/parsed")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        parse_fut = pool.submit(_parse_target)
+        if model_df is None:
+            if baseline_turns is None:
+                raise ValueError("need baseline_turns or model_df")
+            model_df = train_model(spark, baseline_turns, cfg)
+        indexes = model_mod.collect_indexes(model_df)
+        parse_fut.result()
     bc = model_mod.broadcast_indexes(spark, indexes)
 
-    parsed = parse(target_turns, cfg)
+    parsed = spark.read.parquet(f"{work_dir}/parsed")
     enriched = enrich(parsed, bc, cfg)
-    routed = route(enriched, cfg)
-    out = {"routed": routed, "model": model_df}
+    route(enriched, cfg).write.mode("overwrite").parquet(f"{work_dir}/routed")
+    routed = spark.read.parquet(f"{work_dir}/routed")
+
+    out = {"routed": routed, "model": model_df, "work_dir": work_dir}
     out["anomalies"] = routed.filter(F.col("route") == "anomaly")
     out["normal"] = routed.filter(F.col("route") == "normal")
     out["unknown"] = routed.filter(F.col("route") == "unknown")

@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CPU-bound pandas-UDF stages need partition counts sized for cores,
+        # not IO: default 128MB splits would pack a ~1GB corpus into ~10
+        # tasks and strand the other cores. 16MB targets >= 2 tasks/core on
+        # bench-scale inputs; on a real cluster with thousands of splits the
+        # default is fine and these can be overridden via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # Arrow batches ~ the reference's scoring-chunk economics
         # (process.rs:26: 512 unique lines; larger batches amortize Python)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")

@@ -79,9 +79,23 @@ _ODD_CHAR_RE = re.compile(r"[<>{}%$,*]")
 # scan (safe: block-start characters never overlap block-interior classes).
 _UID_A = frozenset("[]0123456789abcdefABCDEFxZ,")
 _UID_S = frozenset(":.-")
+# fast path: the (:*A+S*)+ sublanguage collapses to this linear regex (after
+# the first A char, any mix of A and separator chars is reachable)
+_UID_FAST_RE = re.compile(r"^:*[\[\]0-9a-fA-FxZ,][\[\]0-9a-fA-FxZ,:.\-]*$")
+# the literal alternatives begin with l/n/r which are outside the A class,
+# so words without these substrings are fully decided by the fast path
+_UID_LITERALS_RE = re.compile(r"latest|none|rabbitmq-cluster-id-")
 
 
 def _uid_pattern_match(word: str) -> bool:
+    if _UID_FAST_RE.match(word):
+        return True
+    if _UID_LITERALS_RE.search(word) is None:
+        return False
+    return _uid_pattern_match_slow(word)
+
+
+def _uid_pattern_match_slow(word: str) -> bool:
     i, n = 0, len(word)
     blocks = 0
     while i < n:
@@ -169,15 +183,13 @@ def _remove_numbers(word: str) -> str:
     return _NUMBERS_RE.sub("N", word)
 
 
+_VOWEL_RE = re.compile(r"[aeiouyAEIOUY]")
+_CONSONANT_RE = re.compile(r"[bcdfghjklmnpqrstvwxzBCDFGHJKLMNPQRSTVWXZ]")
+
+
 def _contains_no_vowel(word: str) -> bool:
-    # tokenizer.rs:185-195
-    found = False
-    for c in word.lower():
-        if c in _VOWELS:
-            return False
-        if c in _CONSONANTS:
-            found = True
-    return found
+    # tokenizer.rs:185-195: no ASCII vowel (y counts) and >= 1 ASCII consonant
+    return _VOWEL_RE.search(word) is None and _CONSONANT_RE.search(word) is not None
 
 
 def _is_uid(word: str) -> bool:
@@ -357,6 +369,26 @@ def _do_process(base_word: str, it, out: list[str]) -> bool:
     return added
 
 
+@lru_cache(maxsize=1 << 18)
+def _word_result(word: str) -> tuple[str, bool, int]:
+    """(appended fragment, added flag, number of following words consumed)
+    for one word. Word processing is a pure function of the word except for
+    the consume-next cases (%VALUE_ID with empty value, password keys) where
+    the consumed word's content is discarded (tokenizer.rs:536,576) — so the
+    full result is cacheable per word, which makes tokenizing repetitive log
+    vocabularies a dict lookup per word."""
+    out: list[str] = []
+    consumed = [0]
+
+    def _counting():
+        while True:
+            consumed[0] += 1
+            yield ""
+
+    added = _do_process(word, _counting(), out)
+    return "".join(out), added, consumed[0]
+
+
 @lru_cache(maxsize=1 << 20)
 def process(line: str) -> str:
     """Tokenize one line (reference entry point tokenizer.rs:588-608)."""
@@ -364,9 +396,16 @@ def process(line: str) -> str:
     if global_filter(line):
         return "%GL_FILTER"
     out: list[str] = []
-    it = iter(_WORDS_RE.split(line))
-    for word in it:
-        if _do_process(word, it, out):
+    skip = 0
+    for word in _WORDS_RE.split(line):
+        if skip:
+            skip -= 1
+            continue
+        frag, added, consumed = _word_result(word)
+        skip = consumed
+        if frag:
+            out.append(frag)
+        if added:
             out.append(" ")
     return "".join(out).rstrip()
 
