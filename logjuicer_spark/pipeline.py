@@ -84,8 +84,12 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
             "conv_id", "turn_idx", "role", "tool", "ts",
             F.lit(0).alias("sub_idx"), "text",
         )
-    # max line length: longer lines are dropped entirely (iterator.rs:155-157)
-    df = df.filter(F.octet_length("text") <= cfg.max_line_bytes)
+    # max line length: longer lines are dropped entirely (iterator.rs:155-157);
+    # empty lines are dropped too but keep their line number
+    # (iterator.rs:236-241: `if res.is_empty() { self.get_slice() }`)
+    df = df.filter(
+        (F.octet_length("text") <= cfg.max_line_bytes) & (F.length("text") > 0)
+    )
 
     if cfg.ignore_patterns:
         ignored = None

@@ -1,0 +1,43 @@
+"""Spark-level test for the errors entry point (errors_run)."""
+
+from pyspark.sql import functions as F
+
+from logjuicer_spark import gen
+from logjuicer_spark.errors import errors_run
+
+
+def test_errors_run(spark):
+    rows = []
+
+    def add(conv, i, text, tool="bash"):
+        rows.append(
+            {"conv_id": conv, "turn_idx": i, "role": "tool", "text": text,
+             "tool": tool, "ts": None}
+        )
+
+    add("c1", 1, "starting the run")
+    add("c1", 2, "Traceback (most recent call last):")
+    add("c1", 3, '  File "x.py", line 1, in <module>')
+    add("c1", 4, "RuntimeError: kaboom")
+    add("c1", 5, "continuing after failure")
+    add("c2", 1, "all good here")
+    add("c2", 2, "controller | controller-0 | FAILED | rc=2 >>")
+    add("c2", 3, "done")
+    # duplicate of c2's error in c3 -> globally deduped
+    add("c3", 1, "controller | controller-1 | FAILED | rc=2 >>")
+
+    df = gen.to_spark_df(spark, rows)
+    out = errors_run(spark, df).orderBy("conv_id", "turn_idx").collect()
+    got = [(r.conv_id, r.turn_idx, r.text) for r in out]
+    assert ("c1", 4, "RuntimeError: kaboom") in got
+    assert ("c2", 2, "controller | controller-0 | FAILED | rc=2 >>") in got
+    # c3's error has the same token-set (digits masked) -> deduped
+    assert not any(c == "c3" for c, _, _ in got)
+    a = [r for r in out if r.conv_id == "c1"][0]
+    assert list(a.before) == [
+        "starting the run",
+        "Traceback (most recent call last):",
+        '  File "x.py", line 1, in <module>',
+    ]
+    assert list(a.after) == ["continuing after failure"]
+    assert abs(a.score - 0.5) < 1e-6
