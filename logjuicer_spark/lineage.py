@@ -1,0 +1,115 @@
+"""Per-partition lineage records + checkpoint/resume (north_rule; the
+reference has no analog — its web service simply resets pending jobs,
+CHANGELOG 0.9.4 — so this is engine-native functionality).
+
+Design: the route stage is bucketed by a stable hash of conv_id. Each
+completed bucket writes (a) its routed rows under route=<bucket> and (b) a
+lineage row (run_id, stage, bucket, conv range, row count, order-insensitive
+xxhash64 checksum). A resumed run anti-joins the completed buckets and only
+processes the remainder — producing byte-identical sink contents.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_SUBDIR = "_lineage"
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str, run_id: str, stage: str) -> set[int]:
+    import os
+
+    path = f"{out_dir}/{LINEAGE_SUBDIR}"
+    if not os.path.exists(path):
+        return set()
+    df = spark.read.parquet(path)
+    rows = (
+        df.filter((F.col("run_id") == run_id) & (F.col("stage") == stage))
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return {r.partition_id for r in rows}
+
+
+def lineage_rows(routed_bucketed: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """Aggregate one lineage row per bucket from the routed output."""
+    now = _dt.datetime.now(tz=_dt.timezone.utc)
+    return routed_bucketed.groupBy(F.col("bucket").alias("partition_id")).agg(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.min("conv_id").alias("conv_min"),
+        F.max("conv_id").alias("conv_max"),
+        F.count(F.lit(1)).alias("rows"),
+        F.expr(
+            "bit_xor(xxhash64(conv_id, turn_idx, sub_idx, text, route))"
+        ).alias("checksum"),
+        F.lit(now).alias("completed_at"),
+    ).select(
+        "run_id", "stage", "partition_id", "conv_min", "conv_max",
+        "rows", "checksum", "completed_at",
+    )
+
+
+def run_routed_with_resume(
+    spark: SparkSession,
+    enriched: DataFrame,
+    cfg,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = 64,
+    _bucket_filter=None,
+) -> DataFrame:
+    """Route with bucket-level checkpointing. Re-invoking with the same
+    run_id resumes: completed buckets are skipped. `_bucket_filter` is a
+    test hook simulating a crash after a subset of buckets.
+
+    Returns the full routed DataFrame read back from the sink (only
+    complete once every bucket is processed).
+    """
+    from .pipeline import route
+
+    done = completed_buckets(spark, out_dir, run_id, "route")
+    work = enriched.withColumn("bucket", bucket_col(n_buckets))
+    todo = work.filter(~F.col("bucket").isin(list(done))) if done else work
+    if _bucket_filter is not None:
+        todo = todo.filter(F.col("bucket").isin(list(_bucket_filter)))
+
+    routed = route(todo.drop("bucket"), cfg).withColumn("bucket", bucket_col(n_buckets))
+    routed.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/routed")
+    lineage_rows(routed, run_id, "route").write.mode("append").parquet(
+        f"{out_dir}/{LINEAGE_SUBDIR}"
+    )
+    return spark.read.parquet(f"{out_dir}/routed")
+
+
+def verify_lineage(spark: SparkSession, out_dir: str, run_id: str) -> bool:
+    """Recompute per-bucket checksums from the sink and compare with the
+    lineage records (exactness check after a resumed run)."""
+    routed = spark.read.parquet(f"{out_dir}/routed")
+    actual = routed.groupBy(F.col("bucket").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, sub_idx, text, route))").alias("checksum"),
+    )
+    recorded = (
+        spark.read.parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
+        .filter((F.col("run_id") == run_id) & (F.col("stage") == "route"))
+        .select("partition_id", "rows", "checksum")
+    )
+    diff = (
+        actual.join(recorded, "partition_id", "full")
+        .filter(
+            (actual["rows"] != recorded["rows"])
+            | (actual["checksum"] != recorded["checksum"])
+            | actual["rows"].isNull()
+            | recorded["rows"].isNull()
+        )
+        .count()
+    )
+    return diff == 0

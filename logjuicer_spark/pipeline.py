@@ -301,11 +301,20 @@ def aggregate(routed: DataFrame) -> dict[str, DataFrame]:
         F.count(F.lit(1)).alias("total_line_count"),
         F.sum(is_anom).alias("total_anomaly_count"),
     )
+    # report ordering (W4, report.rs:612-627): sources sorted by mean
+    # anomaly distance desc, job-output-style sources pinned to the top
+    log_reports = agg_conv.withColumn(
+        "sort_key",
+        F.when(F.col("conv_id").startswith("job-output"), F.lit(42.0)).otherwise(
+            F.coalesce(F.col("mean_score"), F.lit(-1.0))
+        ),
+    ).orderBy(F.desc("sort_key"), "conv_id")
     return {
         "agg_conv": agg_conv,
         "agg_tool": agg_tool,
         "score_hist": score_hist,
         "totals": totals,
+        "log_reports": log_reports,
     }
 
 
