@@ -1,0 +1,90 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- brute_force_topk: exact cosine top-k (the correctness baseline; see also
+  entry_queries.q_ann_cosine which is DuckDB-oracled)
+- ivf_topk: the scale path — k-means-lite coarse quantizer (centroids
+  trained on a sample, driver-side numpy, broadcast), probe the nprobe
+  nearest cells only; candidate set shrinks by ~ncells/nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _cos_cols(vcol, qcol):
+    dot = F.aggregate(F.zip_with(vcol, qcol, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    n1 = F.sqrt(F.aggregate(vcol, F.lit(0.0), lambda s, x: s + x * x))
+    n2 = F.sqrt(F.aggregate(qcol, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (n1 * n2)
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec, k: int = 10, id_col="vec_id", vec_col="embedding"
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        emb.select(F.col(id_col).alias("id"), F.round(_cos_cols(v, q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id")
+        .limit(k)
+    )
+
+
+def train_centroids(emb: DataFrame, n_cells: int = 16, vec_col="embedding",
+                    sample: int = 4096, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """k-means on a driver-side sample (Lloyd iterations in numpy)."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    spark,
+    emb: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """IVF: assign every vector to its nearest centroid cell (vectorized
+    pandas UDF over the broadcast codebook), prune to the query's nprobe
+    closest cells, exact cosine within the probed cells."""
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        cent = bc.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+
+    cells = emb.withColumn("cell", _cell(F.col(vec_col)))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        cells.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col).alias("id"), F.round(_cos_cols(v, qcol), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id")
+        .limit(k)
+    )

@@ -1,0 +1,287 @@
+"""Near-duplicate detection at corpus scale.
+
+Spark-first shapes:
+- exact: hash groupBy (see entry_queries.q_dedup_exact)
+- MinHash + LSH: signature pandas UDF -> band explode -> bucket groupBy ->
+  candidate pairs -> signature-estimate verify. The only Python is the
+  Arrow-batched signature computation; banding/bucketing/verification are
+  shuffle-friendly DataFrame ops (band buckets distribute; no pairwise
+  cross-join ever materializes beyond colliding buckets).
+- SimHash: 64-bit signature UDF -> 4x16-bit pigeonhole bands ->
+  bit_count(xor) Hamming verify, fully JVM-side after the signature.
+- n-gram Jaccard: exact verification for candidate pairs (pandas UDF).
+- embedding cosine: random-hyperplane LSH bucket join + exact cosine verify.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    if len(text) < k:
+        data = text.encode("utf-8", "ignore")
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    b = text.encode("utf-8", "ignore")
+    # byte-shingles approximate char-shingles and stay allocation-cheap
+    return np.unique(
+        np.array([zlib.crc32(b[i : i + k]) for i in range(len(b) - k + 1)], dtype=np.uint64)
+    )
+
+
+def _minhash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>) with sig[i] = min_h((a_i*x+b_i) mod M)."""
+    a, b = _minhash_params(n_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            x = _shingle_hashes(t or "", shingle_k)
+            # (n_hashes x n_shingles) in uint64 modular space
+            m = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+            out.append(m.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 32,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs via banding, verified by signature-estimated Jaccard.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+    """
+    n_hashes = len(sigs.select("sig").first()["sig"])
+    rows_per_band = n_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(n_hashes)
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_groups(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Connected components via iterative min-label propagation (small
+    iteration count; near-dup clusters are tiny in practice). Returns
+    (id, keep_id)."""
+    edges = pairs.select("id_a", "id_b")
+    labels = sigs.select("id", F.col("id").alias("label"))
+    sym = edges.union(edges.select(F.col("id_b"), F.col("id_a"))).toDF("id", "nbr")
+    for _ in range(5):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+    return labels.withColumnRenamed("label", "keep_id")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace words (term hash: xxhash-like crc mix)."""
+
+    @pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            if not words:
+                continue
+            hs = np.array(
+                [zlib.crc32(w.encode("utf-8", "ignore")) * 0x9E3779B97F4A7C15 & (2**64 - 1)
+                 for w in words],
+                dtype=np.uint64,
+            )
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int32)
+            v = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for bit in np.flatnonzero(v > 0):
+                sig |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole banding on 4x16-bit chunks, JVM-side Hamming verify."""
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("band", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cands = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (verification of candidate pairs)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, text_col="text", id_col="doc_id",
+    k: int = 5, threshold: float = 0.6,
+) -> DataFrame:
+    da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    j = pairs.join(da, "id_a").join(db, "id_b")
+
+    @pandas_udf("double")
+    def _jacc(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i in range(len(ta)):
+            sa = set(map(int, _shingle_hashes(ta.iloc[i] or "", k)))
+            sb = set(map(int, _shingle_hashes(tb.iloc[i] or "", k)))
+            u = len(sa | sb)
+            out[i] = (len(sa & sb) / u) if u else 1.0
+        return pd.Series(out)
+
+    return j.select(
+        "id_a", "id_b", F.round(_jacc("text_a", "text_b"), 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup (random hyperplane LSH + exact verify)
+# --------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) for pairs sharing an LSH sign-bucket with
+    cosine >= threshold. Bucket join keeps the candidate set near-linear."""
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+    @pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _bucket(F.col(vec_col)).alias("bucket"),
+    )
+    l, r = e.alias("l"), e.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    return (
+        l.join(
+            r,
+            on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(dot / (nrm(F.col("l.v")) * nrm(F.col("r.v"))), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

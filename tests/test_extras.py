@@ -1,0 +1,142 @@
+"""Tests for the training-data-pipeline extras (dedup / ANN / textstats /
+multimodal plumbing)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logjuicer_spark.extras import ann, dedup, multimodal, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a quiet tune in the warm evening air near the old stone bridge"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("quiet", "loud").replace("warm", "cold")),  # near dup
+        (3, "completely different content about databases and query planners "
+            "optimizing join orders with cost models and cardinality estimates"),
+        (4, "der schnelle braune fuchs springt und die alte Band spielt nicht "
+            "mit der einen Melodie auf das leise Abendlied und zu der Stille"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh(spark, docs):
+    sigs = dedup.minhash_signatures(docs).cache()
+    pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert got.get((0, 1)) == 1.0  # exact dup -> identical signatures
+    assert (0, 2) in got or (1, 2) in got  # near dup caught by banding
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+    groups = dedup.minhash_dedup_groups(
+        dedup.minhash_lsh_pairs(sigs, threshold=0.5), sigs
+    ).collect()
+    label = {r.id: r.keep_id for r in groups}
+    assert label[0] == label[1] == label[2] == 0
+    assert label[3] == 3
+
+
+def test_ngram_jaccard(spark, docs):
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.5)
+    verified = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.5).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert j.get((0, 1)) == 1.0
+    assert 0.5 <= j.get((0, 2), 0) < 1.0
+
+
+def test_simhash(spark, docs):
+    sigs = dedup.simhash_signatures(docs).cache()
+    vals = {r.id: r.simhash for r in sigs.collect()}
+    assert vals[0] == vals[1]
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get((0, 1)) == 0
+    assert (0, 3) not in got
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.01 * rng.standard_normal(32).astype(np.float32)]),
+        (2, [float(x) for x in rng.standard_normal(32)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup(emb, threshold=0.95).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in ids
+    assert not any(2 in p for p in ids)
+
+
+def test_ann_ivf_vs_brute(spark):
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((4, 16)).astype(np.float64)
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        v = c + 0.1 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    query = [float(x) for x in centers[1]]
+    brute = [r.id for r in ann.brute_force_topk(emb, query, k=10).collect()]
+    cents = ann.train_centroids(emb, n_cells=8, sample=400)
+    approx = [r.id for r in ann.ivf_topk(spark, emb, query, cents, k=10, nprobe=3).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.8
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was happy for a while"),
+        (1, "der hund ist nicht mit der katze und das ist gut"),
+        (2, "le chat est dans la maison et il est pour une sieste"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.lang_guess for r in textstats.language_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_quality_and_tokens(spark, docs):
+    q = {r.id: r for r in textstats.quality_score(docs).collect()}
+    assert q[0].quality > 0.5  # clean english prose
+    assert 0 <= q[3].quality <= 1
+    t = {r.id: r for r in textstats.token_count(docs).collect()}
+    assert t[0].ws_tokens == len(docs.collect()[0].text.split())
+    assert t[0].bpe_ish_tokens >= t[0].ws_tokens
+
+
+def test_fingerprint_clone_detection(spark, docs):
+    fp = {r.id: set(r.fingerprints) for r in textstats.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    overlap_near = len(fp[0] & fp[2]) / len(fp[0] | fp[2])
+    overlap_far = len(fp[0] & fp[3]) / len(fp[0] | fp[3])
+    assert overlap_near > 0.5 > overlap_far
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    assert all(r.decode_ok for r in feats)
+    assert len(by_id[0].feature) == 16
+    # deterministic: same payload -> same feature
+    feats2 = multimodal.extract_features(media).collect()
+    assert {r.media_id: r.feature for r in feats2} == {r.media_id: r.feature for r in feats}
+    # unknown modality path raises cleanly via NotImplementedError -> flag
+    multimodal.DECODERS.pop("video")
+    try:
+        feats3 = multimodal.extract_features(media).collect()
+        bad = [r for r in feats3 if r.modality == "video"]
+        assert bad and not any(r.decode_ok for r in bad)
+        assert all(r.feature is None for r in bad)
+    finally:
+        multimodal.DECODERS["video"] = multimodal._fake_decode
