@@ -344,3 +344,183 @@ QUERIES = {
     "q_tokenize": q_tokenize,
     "q_pipeline_anomalies": q_pipeline_anomalies,
 }
+
+
+# --------------------------------------------------------------------------
+# extras: dedup / ANN / textstats / multimodal / errors / similarity
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID: per-language marker scores + argmax guess (JVM-side)."""
+    from .extras.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring: length/punct/stopword/upper/digit ratios."""
+    from .extras.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs over documents."""
+    from .extras.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(sigs, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs (Hamming <= 3)."""
+    from .extras.dedup import simhash_near_pairs, simhash_signatures
+
+    sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
+    return simhash_near_pairs(sigs)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    from .extras.dedup import embedding_near_dup
+
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.98)
+
+
+def q_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints per document."""
+    from .extras.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k against the vec_id 0 query."""
+    from .extras.ann import ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = train_centroids(emb, n_cells=8)
+    return ivf_topk(spark, emb, query, cents, k=20, nprobe=3)
+
+
+def q_errors_report(spark, sf_dir):
+    """E3: model-free error extraction over the events-derived transcripts
+    (error events rendered with a syslog-style error marker so the
+    single-line error regex set has something to find)."""
+    from .errors import errors_run
+
+    t = turns_view(spark, sf_dir)
+    t = t.withColumn(
+        "text",
+        F.when(
+            F.col("etype") == "error", F.concat(F.col("text"), F.lit(' msg="error occurred"'))
+        ).otherwise(F.col("text")),
+    ).drop("is_baseline", "etype")
+    out = errors_run(spark, t)
+    return out.select("conv_id", "turn_idx", "tool", "text", "score")
+
+
+def q_similarity_report(spark, sf_dir):
+    """J4: cross-target anomaly co-occurrence over two flagship runs."""
+    from . import pipeline
+    from .similarity import similarity_report
+    from .tokenizer import tokenize_udf
+
+    t = turns_view(spark, sf_dir)
+    baseline = t.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
+        "is_baseline", "etype"
+    )
+    target = t.filter(~F.col("is_baseline")).drop("is_baseline", "etype")
+    halves = [
+        target.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == i) for i in (0, 1)
+    ]
+    labeled = None
+    for i, half in enumerate(halves):
+        out = pipeline.run(spark, half, baseline_turns=baseline)
+        a = (
+            out["anomalies"]
+            .withColumn("target_id", F.lit(i))
+            .withColumn("tokens", tokenize_udf()(F.col("text")))
+        )
+        labeled = a if labeled is None else labeled.unionByName(a)
+    rep = similarity_report(labeled)
+    return rep.select("group", "tokens", "conv_id", "turn_idx", "n_sources")
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> feature extraction."""
+    from .extras.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 96)
+    return extract_features(media).select(
+        "media_id", "modality", "n_bytes", "sha256", "decode_ok"
+    )
+
+
+_LANG_MARKERS_SQL = {
+    "en": "['the','and','of','to','is','in','that','it','was','for']",
+    "de": "['der','die','und','das','ist','nicht','ein','mit','auf','zu']",
+    "fr": "['le','la','les','et','est','une','que','pour','dans','pas']",
+    "es": "['el','la','los','las','es','una','que','por','con','para']",
+}
+
+_LANG_SCORES_SQL = ", ".join(
+    f"len(list_filter(string_split(text, ' '), w -> list_contains({m}, lower(w)))) AS score_{lg}"
+    for lg, m in sorted(_LANG_MARKERS_SQL.items())
+)
+
+ORACLE_SQL["q_lang_id"] = f"""
+WITH s AS (SELECT doc_id AS id, {_LANG_SCORES_SQL} FROM documents),
+b AS (SELECT *, greatest(score_de, score_en, score_es, score_fr) AS best FROM s)
+SELECT id, score_de, score_en, score_es, score_fr,
+  CASE WHEN best <= 0 THEN 'und'
+       WHEN score_de = best THEN 'de'
+       WHEN score_en = best THEN 'en'
+       WHEN score_es = best THEN 'es'
+       WHEN score_fr = best THEN 'fr' END AS lang_guess
+FROM b
+"""
+
+ORACLE_SQL["q_quality"] = """
+WITH r AS (
+  SELECT doc_id AS id,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_words,
+    length(text) / greatest(len(string_split(text, ' ')), 1) AS mean_word_len,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains(['the','and','of','to','is','in','that','it','was','for'], lower(w))))
+      / greatest(len(string_split(text, ' ')), 1) AS stop_ratio,
+    length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1) AS upper_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1) AS digit_ratio
+  FROM documents)
+SELECT id, n_words,
+  round(mean_word_len, 4) AS mean_word_len,
+  round(stop_ratio, 4) AS stop_ratio,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(upper_ratio, 4) AS upper_ratio,
+  round(digit_ratio, 4) AS digit_ratio,
+  round(greatest(CASE WHEN n_words < 5 THEN 0.0
+                      WHEN mean_word_len < 2 THEN 0.2
+                      WHEN mean_word_len > 12 THEN 0.2
+                      ELSE least(1.0, 0.4 + stop_ratio * 2 - punct_ratio
+                                 - greatest(upper_ratio - 0.3, 0.0) - digit_ratio) END,
+                 0.0), 4) AS quality
+FROM r
+"""
+
+QUERIES.update(
+    {
+        "q_lang_id": q_lang_id,
+        "q_quality": q_quality,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_fingerprint": q_fingerprint,
+        "q_ann_ivf": q_ann_ivf,
+        "q_errors_report": q_errors_report,
+        "q_similarity_report": q_similarity_report,
+        "q_media_features": q_media_features,
+    }
+)
