@@ -1,0 +1,163 @@
+"""spark-submit entry point mirroring the reference CLI surface
+(/root/reference/crates/cli/src/main.rs:51-144):
+
+  diff     BASELINE TARGET       train on baseline table, report target
+  run      TARGET --model M      report with a persisted model
+  train    BASELINE --model M    train + persist
+  errors   TARGET                model-free error extraction
+  similarity R1 R2 ...           cross-run anomaly co-occurrence
+  check-model M [--max-age D]    validate a persisted model
+
+Tables are parquet paths or catalog identifiers (storage.py). Outputs land
+under --out as parquet sinks: routed/ anomalies/ normal/ agg_conv/
+agg_tool/ score_hist/ plus a lineage table.
+
+Example:
+  spark-submit --py-files logjuicer_spark.zip cli.py diff \\
+      lake.db.baseline_turns lake.db.target_turns --out /sinks/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cfg(args) -> "PipelineConfig":
+    from .pipeline import PipelineConfig
+
+    return PipelineConfig(
+        ignore_patterns=tuple(args.ignore_pattern or ()),
+        skip_duplicate=not args.keep_duplicate,
+    )
+
+
+def _write_outputs(out, out_dir):
+    from .storage import write_table
+
+    for name in ("anomalies", "normal", "unknown", "agg_conv", "agg_tool",
+                 "score_hist", "totals", "log_reports"):
+        write_table(out[name], f"{out_dir}/{name}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="logjuicer-spark")
+    p.add_argument("--master", default=None)
+    p.add_argument("--out", default="./logjuicer-out")
+    p.add_argument("--ignore-pattern", action="append")
+    p.add_argument("--keep-duplicate", action="store_true",
+                   help="disable token-set dedup (LOGJUICER_KEEP_DUPLICATE)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("diff")
+    d.add_argument("baseline")
+    d.add_argument("target")
+
+    r = sub.add_parser("run")
+    r.add_argument("target")
+    r.add_argument("--model", required=True)
+    r.add_argument("--max-age-days", type=float, default=None)
+
+    t = sub.add_parser("train")
+    t.add_argument("baseline")
+    t.add_argument("--model", required=True)
+
+    e = sub.add_parser("errors")
+    e.add_argument("target")
+    e.add_argument("--model", default=None)
+
+    s = sub.add_parser("similarity")
+    s.add_argument("anomaly_tables", nargs="+")
+
+    c = sub.add_parser("check-model")
+    c.add_argument("model")
+    c.add_argument("--max-age-days", type=float, default=None)
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from . import model as M, pipeline
+    from .session import get_spark
+    from .storage import read_table, write_table
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("logjuicer-spark-cli", master=args.master)
+    t0 = time.time()
+    cfg = _cfg(args)
+    status = {"cmd": args.cmd}
+
+    if args.cmd == "diff":
+        out = pipeline.run(
+            spark,
+            read_table(spark, args.target),
+            baseline_turns=read_table(spark, args.baseline),
+            cfg=cfg,
+        )
+        _write_outputs(out, args.out)
+        totals = out["totals"].collect()[0]
+        status.update(
+            lines=totals.total_line_count, anomalies=totals.total_anomaly_count
+        )
+    elif args.cmd == "run":
+        model_df = M.load(spark, args.model, max_age_days=args.max_age_days)
+        out = pipeline.run(
+            spark, read_table(spark, args.target), model_df=model_df, cfg=cfg
+        )
+        _write_outputs(out, args.out)
+        totals = out["totals"].collect()[0]
+        status.update(
+            lines=totals.total_line_count, anomalies=totals.total_anomaly_count
+        )
+    elif args.cmd == "train":
+        model_df = pipeline.train_model(spark, read_table(spark, args.baseline), cfg)
+        M.save(model_df, args.model)
+        status.update(groups=model_df.select("group_key").distinct().count())
+    elif args.cmd == "errors":
+        from .errors import errors_run
+
+        bc = None
+        if args.model:
+            bc = M.broadcast_indexes(
+                spark, M.collect_indexes(M.load(spark, args.model))
+            )
+        out = errors_run(
+            spark, read_table(spark, args.target), cfg, model_indexes_bc=bc
+        )
+        write_table(out, f"{args.out}/errors")
+        status.update(anomalies=out.count())
+    elif args.cmd == "similarity":
+        from functools import reduce
+
+        from pyspark.sql import DataFrame, functions as F
+
+        from .similarity import similarity_report
+        from .tokenizer import tokenize_udf
+
+        labeled = reduce(
+            DataFrame.unionByName,
+            [
+                read_table(spark, t)
+                .withColumn("target_id", F.lit(i))
+                .withColumn("tokens", tokenize_udf()(F.col("text")))
+                for i, t in enumerate(args.anomaly_tables)
+            ],
+        )
+        rep = similarity_report(labeled)
+        write_table(rep, f"{args.out}/similarity")
+        status.update(groups=rep.count())
+    elif args.cmd == "check-model":
+        M.load(spark, args.model, max_age_days=args.max_age_days)
+        status.update(ok=True)
+
+    # the reference's live throughput metric (main.rs:593-603)
+    status["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(status))
+    if not preexisting:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

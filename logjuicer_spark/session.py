@@ -29,6 +29,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark timestamps are session-TZ; DuckDB's are UTC-naive — pin UTC
+        # so oracle comparisons and parquet round-trips agree
+        .config("spark.sql.session.timeZone", "UTC")
         # CPU-bound pandas-UDF stages need partition counts sized for cores,
         # not IO: default 128MB splits would pack a ~1GB corpus into ~10
         # tasks and strand the other cores. 16MB targets >= 2 tasks/core on
