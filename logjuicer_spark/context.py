@@ -40,19 +40,65 @@ THRESHOLD = np.float32(0.3)  # process.rs:20
 
 
 class _ChunkState:
-    """Mutable cross-chunk state (current open anomaly + left-overs)."""
+    """Mutable cross-chunk state (current open anomaly + left-overs +
+    last-known-timestamp tracking for parse-mode W3)."""
 
-    __slots__ = ("current", "left_overs", "anomalies")
+    __slots__ = ("current", "left_overs", "anomalies", "last_ts", "parse_ts", "gl_date")
 
-    def __init__(self):
+    def __init__(self, parse_ts=False, gl_date=None):
         self.current = None  # open anomaly dict
         self.left_overs: list[str] = []
         self.anomalies: list[dict] = []
+        # LastTS (process.rs:159-163): ('known', epoch_or_None, pos) | 'missing'
+        self.last_ts = ("known", None, 0)
+        self.parse_ts = parse_ts
+        self.gl_date = gl_date
 
     def close_current(self):
         if self.current is not None:
             self.anomalies.append(self.current)
             self.current = None
+
+    def get_timestamp(self, bt, buf_texts, positions):
+        """process.rs:210-244: parse from the line, else scan <= 32 lines
+        backward in the chunk buffer until the previously known ts position;
+        time-only stamps resolve against gl_date."""
+        from .timestamps import FULL, parse_timestamp, set_date
+
+        if self.last_ts == "missing":
+            return None
+        _, _, last_pos = self.last_ts
+        t = None
+        count = 0
+        j = bt  # reference scans from buffer_pos - 1 == the target itself
+        while True:
+            t = parse_timestamp(buf_texts[j]) if j >= 0 else None
+            if t is not None or j < 0:
+                break
+            count += 1
+            if count > 32:
+                t = None
+                break
+            j -= 1
+            if j >= 0 and positions[j] <= last_pos:
+                t = None
+                break
+        if t is None:
+            return None
+        if t[0] == FULL:
+            return t[1]
+        if self.gl_date is not None:
+            return set_date(self.gl_date, t[1])
+        return None
+
+    def update_last_ts(self, ts, pos):
+        # process.rs:367-371
+        if self.last_ts != "missing":
+            _, known, _ = self.last_ts
+            if known is None and ts is None and pos > 42:
+                self.last_ts = "missing"
+                return
+        self.last_ts = ("known", ts, pos)
 
 
 def _collect_before(bt, last_context_pos, buf_texts, left_overs):
@@ -110,6 +156,10 @@ def _process_chunk(state, buf_local, buf_texts, tgt_bpos, tgt_scores, tgt_emit, 
             state.close_current()
             if not tgt_emit[k]:
                 continue  # global duplicate: silently dropped
+            timestamp = None
+            if state.parse_ts:
+                timestamp = state.get_timestamp(bt, buf_texts, positions)
+                state.update_last_ts(timestamp, int(positions[bt]))
             before = _collect_before(bt, last_context_pos, buf_texts, state.left_overs)
             last_context_pos = bt + 1
             state.current = {
@@ -119,6 +169,7 @@ def _process_chunk(state, buf_local, buf_texts, tgt_bpos, tgt_scores, tgt_emit, 
                 "line": buf_texts[bt],
                 "before": before,
                 "after": [],
+                "timestamp_ms": timestamp,
             }
 
     # trailing after-context for the still-open anomaly (process.rs:401-415)
@@ -142,6 +193,8 @@ def find_anomalies(
     is_target,
     scores,
     emit_ok=None,
+    parse_ts=False,
+    gl_date=None,
 ):
     """Run the full per-conversation extraction.
 
@@ -174,7 +227,7 @@ def find_anomalies(
     if len(buf_all) == 0:
         return []
     tgt_mask_buf = is_target[buf_all]  # per buffered line
-    state = _ChunkState()
+    state = _ChunkState(parse_ts=parse_ts, gl_date=gl_date)
 
     # --- chunk boundary computation (process.rs:283-295) ---
     # within the rolling buffer: flush after the 512th target line, or at a

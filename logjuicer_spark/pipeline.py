@@ -52,6 +52,9 @@ class PipelineConfig:
     explode_sublines: bool = True
     max_line_bytes: int = 6000  # iterator.rs:155-157
     threshold: float = 0.3  # process.rs:20
+    # parse timestamps from the text (W3 backfill semantics) instead of the
+    # native ts column -- for ts-less sources
+    parse_timestamps: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -60,7 +63,7 @@ class PipelineConfig:
 
 # literal \n / \r sub-line separators (iterator.rs:253-287) plus real
 # newlines (line boundaries in the file world)
-_SUBLINE_SEP = "\\\\[nr]|\r\n|\n|\r"
+_SUBLINE_SEP = "(?<!\\\\)\\\\[nr]|\r\n|\n|\r"
 
 
 def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
@@ -218,7 +221,7 @@ _ROUTE_COLS = [
 ]
 
 
-def _assemble_conv(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
+def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) -> pd.DataFrame:
     pdf = pdf.sort_values(["turn_idx", "sub_idx"], kind="stable").reset_index(drop=True)
     n = len(pdf)
     route = np.full(n, "normal", dtype=object)
@@ -230,6 +233,7 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
     scores_out[~(pdf["is_target"].to_numpy(dtype=bool))] = np.nan
 
     proc = np.flatnonzero(known)
+    ts_overrides: dict = {}
     if len(proc):
         sub = pdf.iloc[proc]
         tgt = sub["is_target"].to_numpy(dtype=bool)
@@ -243,14 +247,24 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
                 tgt,
                 sc,
                 sub["emit_ok"].to_numpy(dtype=bool),
+                parse_ts=parse_ts,
             )
             for a in anomalies:
                 gi = proc[a["idx"]]
                 route[gi] = "anomaly"
                 before[gi] = a["before"]
                 after[gi] = a["after"]
+                if parse_ts:
+                    ms = a.get("timestamp_ms")
+                    ts_overrides[gi] = (
+                        pd.Timestamp(ms, unit="ms") if ms is not None else pd.NaT
+                    )
 
     out = pdf[["conv_id", "turn_idx", "sub_idx", "role", "tool", "ts", "text"]].copy()
+    if parse_ts:
+        out["ts"] = pd.NaT
+        for gi, ts_val in ts_overrides.items():
+            out.loc[gi, "ts"] = ts_val
     out["route"] = route
     out["score"] = scores_out
     out["before"] = before
@@ -261,9 +275,10 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
 def route(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Per-conversation context assembly + fan-out labels."""
     threshold = cfg.threshold
+    parse_ts = cfg.parse_timestamps
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _assemble_conv(pdf, threshold)
+        return _assemble_conv(pdf, threshold, parse_ts)
 
     return (
         enriched.select(*_ROUTE_COLS)

@@ -177,3 +177,30 @@ def test_chunk_boundary_extended_context():
     # chunk 2 buffer = [boom]; before backfilled from 12 left-over lines
     assert a[0]["before"] == texts[n_pre - 12 : n_pre]
     assert a[0]["pos"] == n
+
+
+def test_parse_mode_timestamps():
+    # W3: parse ts from the line, else backward scan; time-only + gl_date
+    from logjuicer_spark.timestamps import parse_timestamp
+
+    texts = [
+        "2024-02-20 09:06:57,036 starting the quiet service run",
+        "plain middle line without any stamp",
+        "weird failure omegaxyzq detected here",     # anomaly, no own ts
+        "another quiet line flowing by",
+        "I0220 09:45:08.004 timeonly failure omegaxyzr here",  # anomaly, time-only
+    ]
+    n = len(texts)
+    positions = np.arange(1, n + 1)
+    is_target = np.ones(n, dtype=bool)
+    scores = np.array([0, 0, 0.9, 0, 0.9], dtype=np.float32)
+    gl_date = parse_timestamp("2024-02-20 09:06:57,036")[1]
+    a = find_anomalies(
+        texts, positions, np.zeros(n, bool), is_target, scores,
+        parse_ts=True, gl_date=gl_date,
+    )
+    assert len(a) == 2
+    # backward scan finds the full stamp two lines up
+    assert a[0]["timestamp_ms"] == 1708420017036
+    # time-only resolves against gl_date (same day)
+    assert a[1]["timestamp_ms"] == gl_date - gl_date % 86400000 + (9 * 3600 + 45 * 60 + 8) * 1000 + 4
