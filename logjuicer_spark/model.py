@@ -50,19 +50,18 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     )
 
     # KnownLines dedup: first occurrence of each unordered token-set within
-    # the group, under stable (conv_id, turn_idx, sub_idx) order.
+    # the group, under stable (conv_id, turn_idx, sub_idx) order — encoded
+    # as the sortable _skey string so the aggregation stays HashAggregate
+    from .pipeline import _skey
+
     winners = (
-        rows.groupBy(F.col(group_col).alias("group_key"), "dkey")
+        rows.withColumn("_skey", _skey())
+        .groupBy(F.col(group_col).alias("group_key"), "dkey")
         .agg(
-            F.min(F.struct("conv_id", "turn_idx", "sub_idx", "tokens")).alias("w")
+            F.min("_skey").alias("skey"),
+            F.min_by("tokens", "_skey").alias("tokens"),
         )
-        .select(
-            "group_key",
-            F.col("w.conv_id").alias("conv_id"),
-            F.col("w.turn_idx").alias("turn_idx"),
-            F.col("w.sub_idx").alias("sub_idx"),
-            F.col("w.tokens").alias("tokens"),
-        )
+        .select("group_key", "skey", "tokens")
     )
 
     build_schema = (
@@ -70,7 +69,7 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_id", "turn_idx", "sub_idx"], kind="stable")
+        pdf = pdf.sort_values(["skey"], kind="stable")
         group = pdf["group_key"].iloc[0]
         idx = SparseIndex.from_token_lines(pdf["tokens"].tolist())
         rows_out = idx.to_rows()

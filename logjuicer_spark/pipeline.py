@@ -126,6 +126,24 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
 # --------------------------------------------------------------------------
 
 
+def _skey():
+    """Sortable single-string encoding of (conv_id, turn_idx, sub_idx):
+    lexicographic order of skey == tuple order (\\x00 sorts below every
+    other byte; indices zero-padded). A single orderable string keeps the
+    first-occurrence aggregations in HashAggregate — min(struct(...)) would
+    fall back to SortAggregate and sort every row by (group, dkey)."""
+    return F.concat_ws(
+        "\x00",
+        "conv_id",
+        F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
+        F.lpad(F.col("sub_idx").cast("string"), 6, "0"),
+    )
+
+
+# scored dims smaller than this are broadcast to kill the probe-side shuffle
+_BROADCAST_SCORED_ROWS = 5_000_000
+
+
 def enrich(
     parsed: DataFrame,
     bc_indexes,
@@ -140,33 +158,30 @@ def enrich(
         is_known = F.lit(True)
     else:
         is_known = F.col(group).isin(known_keys)
-    parsed = parsed.withColumn("is_known", is_known)
+    parsed = parsed.withColumn("is_known", is_known).withColumn("_skey", _skey())
 
     eligible = parsed.filter(F.col("is_known") & ~F.col("is_ignored"))
     winners = (
         eligible.groupBy(F.col(group).alias("tool"), "dkey")
-        .agg(F.min(F.struct("conv_id", "turn_idx", "sub_idx", "tokens")).alias("w"))
-        .select(
-            "tool",
-            "dkey",
-            F.col("w.conv_id").alias("conv_id"),
-            F.col("w.turn_idx").alias("turn_idx"),
-            F.col("w.sub_idx").alias("sub_idx"),
-            F.col("w.tokens").alias("tokens"),
+        .agg(
+            F.min("_skey").alias("skey"),
+            F.min_by("tokens", "_skey").alias("tokens"),
         )
     )
     scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
     scored = scored.persist()
+    n_scored = scored.count()
 
+    scored_sel = scored.select(
+        F.col("tool").alias("_w_tool"),
+        F.col("dkey").alias("_w_dkey"),
+        F.col("skey").alias("_w_skey"),
+        "score",
+    )
+    if n_scored < _BROADCAST_SCORED_ROWS:
+        scored_sel = F.broadcast(scored_sel)
     j = parsed.join(
-        scored.select(
-            F.col("tool").alias("_w_tool"),
-            F.col("dkey").alias("_w_dkey"),
-            F.col("conv_id").alias("_w_conv"),
-            F.col("turn_idx").alias("_w_turn"),
-            F.col("sub_idx").alias("_w_sub"),
-            "score",
-        ),
+        scored_sel,
         on=[
             parsed[group] == F.col("_w_tool"),
             parsed["dkey"] == F.col("_w_dkey"),
@@ -175,40 +190,26 @@ def enrich(
     ).drop("_w_tool", "_w_dkey")
     j = j.withColumn(
         "is_target",
-        F.col("is_known")
-        & ~F.col("is_ignored")
-        & (F.col("conv_id") == F.col("_w_conv"))
-        & (F.col("turn_idx") == F.col("_w_turn"))
-        & (F.col("sub_idx") == F.col("_w_sub")),
-    ).drop("_w_conv", "_w_turn", "_w_sub")
+        F.col("is_known") & ~F.col("is_ignored") & (F.col("_skey") == F.col("_w_skey")),
+    ).drop("_w_skey")
 
     if cfg.skip_duplicate:
         # global dedup dim: first anomalous occurrence of each token-set
         # across ALL groups (gl_skip_lines, model.rs:606,634; process.rs:359-363)
         gl = (
-            scored.filter(F.col("score") > cfg.threshold)
+            scored.filter(F.col("score") > float(np.float32(cfg.threshold)))
             .groupBy("dkey")
-            .agg(F.min(F.struct("conv_id", "turn_idx", "sub_idx")).alias("g"))
-            .select(
-                F.col("dkey").alias("_g_dkey"),
-                F.col("g.conv_id").alias("_g_conv"),
-                F.col("g.turn_idx").alias("_g_turn"),
-                F.col("g.sub_idx").alias("_g_sub"),
-            )
+            .agg(F.min("skey").alias("_g_skey"))
+            .withColumnRenamed("dkey", "_g_dkey")
         )
         j = j.join(F.broadcast(gl), j["dkey"] == F.col("_g_dkey"), "left")
         j = j.withColumn(
             "emit_ok",
-            F.col("_g_dkey").isNull()
-            | (
-                (F.col("conv_id") == F.col("_g_conv"))
-                & (F.col("turn_idx") == F.col("_g_turn"))
-                & (F.col("sub_idx") == F.col("_g_sub"))
-            ),
-        ).drop("_g_dkey", "_g_conv", "_g_turn", "_g_sub")
+            F.col("_g_dkey").isNull() | (F.col("_skey") == F.col("_g_skey")),
+        ).drop("_g_dkey", "_g_skey")
     else:
         j = j.withColumn("emit_ok", F.lit(True))
-    return j
+    return j.drop("_skey")
 
 
 # --------------------------------------------------------------------------

@@ -8,6 +8,9 @@ sparse matrix product; here every Arrow batch of the winners DataFrame is
 scored with one numpy gather/segment-sum per group — same math, f32, and the
 baseline matrix arrives once per executor via broadcast instead of being
 rebuilt per task.
+
+Winner rows carry ``skey``, the sortable encoding of (conv_id, turn_idx,
+sub_idx) used for first-occurrence semantics (see pipeline._SKEY).
 """
 
 from __future__ import annotations
@@ -19,15 +22,11 @@ import pandas as pd
 
 from .model import lookup
 
-SCORED_SCHEMA = (
-    "tool string, dkey string, conv_id string, turn_idx int, sub_idx int, "
-    "score float"
-)
+SCORED_SCHEMA = "tool string, dkey string, skey string, score float"
 
 
 def make_score_fn(bc_indexes):
-    """mapInPandas function over winner rows
-    (tool, dkey, conv_id, turn_idx, sub_idx, tokens) -> + score."""
+    """mapInPandas over winner rows (tool, dkey, skey, tokens) -> + score."""
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         indexes = bc_indexes.value
@@ -40,7 +39,7 @@ def make_score_fn(bc_indexes):
                 idx = lookup(indexes, tool)
                 if idx is not None:
                     scores[g.index.to_numpy()] = idx.score(g["tokens"].tolist())
-            out = pdf[["tool", "dkey", "conv_id", "turn_idx", "sub_idx"]].copy()
+            out = pdf[["tool", "dkey", "skey"]].copy()
             out["score"] = scores
             yield out
 
