@@ -75,6 +75,9 @@ def main(argv=None):
     c.add_argument("model")
     c.add_argument("--max-age-days", type=float, default=None)
 
+    ds = sub.add_parser("test", help="dataset harness (dataset.rs layout)")
+    ds.add_argument("dataset_dirs", nargs="+")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -98,8 +101,11 @@ def main(argv=None):
         )
         _write_outputs(out, args.out)
         totals = out["totals"].collect()[0]
+        byte_count = out["agg_conv"].agg({"byte_count": "sum"}).collect()[0][0] or 0
         status.update(
-            lines=totals.total_line_count, anomalies=totals.total_anomaly_count
+            lines=totals.total_line_count,
+            anomalies=totals.total_anomaly_count,
+            mb=round(byte_count / 2**20, 2),
         )
     elif args.cmd == "run":
         model_df = M.load(spark, args.model, max_age_days=args.max_age_days)
@@ -151,9 +157,23 @@ def main(argv=None):
     elif args.cmd == "check-model":
         M.load(spark, args.model, max_age_days=args.max_age_days)
         status.update(ok=True)
+    elif args.cmd == "test":
+        from .dataset import check_dataset
 
-    # the reference's live throughput metric (main.rs:593-603)
+        results = {}
+        failed = 0
+        for d in args.dataset_dirs:
+            try:
+                results[d] = check_dataset(spark, d)
+            except AssertionError as e:
+                results[d] = f"FAIL: {e}"
+                failed += 1
+        status.update(results=results, failed=failed)
+
+    # the reference's live throughput metric (main.rs:593-603): MB/s
     status["seconds"] = round(time.time() - t0, 2)
+    if "mb" in status and status["seconds"]:
+        status["mb_per_sec"] = round(status["mb"] / status["seconds"], 2)
     print(json.dumps(status))
     if not preexisting:
         spark.stop()
