@@ -14,6 +14,7 @@ state (SURVEY.md §2.10); this module is the engine-native streaming shape:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import model as model_mod
@@ -72,5 +73,114 @@ def anomaly_counts_stream(
             F.col("window.end").alias("win_end"),
             "tool",
             "anomaly_count",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stateful streaming: cross-batch per-conversation anomaly detection
+# --------------------------------------------------------------------------
+
+STREAM_ANOMALY_SCHEMA = (
+    "conv_id string, turn_idx int, tool string, text string, score float, "
+    "before array<string>, after array<string>"
+)
+_STATE_SCHEMA = "state string"
+
+
+def stateful_route(
+    stream_turns: DataFrame,
+    bc_indexes,
+    threshold: float = 0.3,
+    cfg: PipelineConfig = PipelineConfig(),
+):
+    """applyInPandasWithState operator: per-conversation rolling state
+    (seen token-sets, a <=12-line context tail, the open anomaly awaiting
+    after-context) carried ACROSS micro-batches.
+
+    Streaming-native semantics (documented deviation from the batch engine,
+    which holds group-level dedup state): dedup scope is the conversation,
+    before-context is the last <=3 tail lines (12 when chained within the
+    tail), after-context completes in this or the next micro-batch. The
+    batch engine remains the source of truth for exact golden parity.
+    """
+    import json
+
+    from .context import BETWEEN_CTX_LENGTH, CTX_LENGTH
+    from .model import lookup
+    from .tokenizer import dedup_key, process
+
+    thr = np.float32(threshold)
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"seen": [], "tail": [], "open": None, "last_ctx_gap": 10**9}
+        seen = set(st["seen"])
+        tail = st["tail"]  # [(text)] up to BETWEEN_CTX_LENGTH
+        open_a = st["open"]
+        gap = st["last_ctx_gap"]
+        out_rows = []
+        indexes = bc_indexes.value
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["turn_idx"], kind="stable")
+            for r in pdf.itertuples(index=False):
+                text = r.text
+                tokens = process(text)
+                k = dedup_key(tokens)
+                is_new = k not in seen
+                score = np.float32(0.0)
+                if is_new:
+                    seen.add(k)
+                    idx = lookup(indexes, r.tool)
+                    if idx is not None:
+                        score = idx.score([tokens])[0]
+                is_anomaly = is_new and score > thr
+                if is_anomaly:
+                    if open_a is not None:
+                        out_rows.append(open_a)
+                        open_a = None
+                    ctx = BETWEEN_CTX_LENGTH if gap < BETWEEN_CTX_LENGTH else CTX_LENGTH
+                    open_a = {
+                        "conv_id": conv_id,
+                        "turn_idx": int(r.turn_idx),
+                        "tool": r.tool,
+                        "text": text,
+                        "score": float(score),
+                        "before": tail[-ctx:],
+                        "after": [],
+                    }
+                    gap = 0
+                    tail = []
+                elif open_a is not None:
+                    open_a["after"].append(text)
+                    gap = 0
+                    if len(open_a["after"]) >= CTX_LENGTH:
+                        out_rows.append(open_a)
+                        open_a = None
+                else:
+                    tail = (tail + [text])[-BETWEEN_CTX_LENGTH:]
+                    gap += 1
+        state.update((json.dumps({
+            "seen": sorted(seen),
+            "tail": tail,
+            "open": open_a,
+            "last_ctx_gap": gap if gap < 10**8 else 10**9,
+        }),))
+        import pandas as _pd
+
+        cols = ["conv_id", "turn_idx", "tool", "text", "score", "before", "after"]
+        yield _pd.DataFrame(out_rows, columns=cols)
+
+    return (
+        stream_turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STREAM_ANOMALY_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
         )
     )

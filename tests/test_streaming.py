@@ -46,3 +46,65 @@ def test_score_stream(spark):
     assert agg.agg(F.sum("anomaly_count")).collect()[0][0] == len(want)
     shutil.rmtree(in_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_stateful_route_across_batches(spark):
+    import time
+    from logjuicer_spark import model as M
+    from logjuicer_spark.streaming import stateful_route
+
+    baseline_rows, _, _ = gen.generate_corpus(
+        n_baseline_convs=3, n_target_convs=1, turns_per_conv=25, seed=6
+    )
+    model_df = pipeline.train_model(spark, gen.to_spark_df(spark, baseline_rows))
+    bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
+
+    in_dir = tempfile.mkdtemp(prefix="sstream_in_")
+    ckpt = tempfile.mkdtemp(prefix="sstream_ck_")
+
+    def turn(i, text):
+        return {"conv_id": "cX", "turn_idx": i, "role": "tool", "text": text,
+                "tool": "bash", "ts": None}
+
+    # batch 1: normal lines then an anomaly whose after-context is cut off
+    batch1 = [
+        turn(1, "cache lookup for bucket amber returned 3 entries with hit ratio stable behaviour"),
+        turn(2, "writing scratch file /tmp/build-9f3a2b1c/output.log with 55 bytes payload done"),
+        turn(3, "FATAL disk corruption detected on volume omegastream sector unreadable halting"),
+        turn(4, "configuration reload finished successfully revision abcd1234 applied across 3 workers smoothly"),
+    ]
+    gen.to_spark_df(spark, batch1).write.parquet(f"{in_dir}/b1")
+
+    from logjuicer_spark.schemas import TURNS
+    stream = spark.readStream.schema(TURNS).parquet(f"{in_dir}/*")
+    q = (
+        stateful_route(stream, bc)
+        .writeStream.format("memory")
+        .queryName("sanoms")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("select * from sanoms").count() == 0  # after-ctx pending
+
+    # batch 2: the after-context completes across the batch boundary
+    batch2 = [
+        turn(5, "scheduler assigned task copper onto node compute-3 with affinity score 9 points"),
+        turn(6, "cache lookup for bucket maroon returned 9 entries with hit ratio stable behaviour"),
+    ]
+    gen.to_spark_df(spark, batch2).write.parquet(f"{in_dir}/b2")
+    q.processAllAvailable()
+    rows = spark.sql("select * from sanoms").collect()
+    q.stop()
+    assert len(rows) == 1
+    a = rows[0]
+    assert a.turn_idx == 3 and "FATAL disk corruption" in a.text
+    assert len(a.before) == 2  # the two tail lines from batch 1
+    # after-context spans the batch boundary: line 4 (batch1) + lines 5,6 (batch2)
+    assert len(a.after) == 3
+    assert a.after[0].startswith("configuration reload")
+    assert a.after[1].startswith("scheduler assigned")
+    assert a.after[2].startswith("cache lookup")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
