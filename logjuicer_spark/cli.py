@@ -34,12 +34,40 @@ def _cfg(args) -> "PipelineConfig":
     )
 
 
-def _write_outputs(out, out_dir):
+def _write_outputs(out, out_dir, t0=None):
     from .storage import write_table
 
     for name in ("anomalies", "normal", "unknown", "agg_conv", "agg_tool",
                  "score_hist", "totals", "log_reports"):
         write_table(out[name], f"{out_dir}/{name}")
+    _write_report_json(out, out_dir, t0)
+
+
+def _write_report_json(out, out_dir, t0=None):
+    """Consolidated JSON report (S11; the reference's Report struct,
+    report.rs:104-115 / main.rs:146-185)."""
+    import datetime as _dt
+    import os
+
+    if "/" not in out_dir:
+        return  # catalog identifier: sinks only
+    from . import MODEL_VERSION
+
+    totals = out["totals"].collect()[0]
+    report = {
+        "created_at": _dt.datetime.now(tz=_dt.timezone.utc).isoformat(),
+        "run_time_s": round(time.time() - t0, 2) if t0 else None,
+        "model_version": MODEL_VERSION,
+        "total_line_count": totals.total_line_count,
+        "total_anomaly_count": totals.total_anomaly_count,
+        "log_reports": [r.asDict() for r in out["log_reports"].collect()],
+        "index_reports": [
+            r.asDict() for r in out["agg_tool"].orderBy("tool").collect()
+        ],
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/report.json", "w") as f:
+        json.dump(report, f, indent=1, default=str)
 
 
 def main(argv=None):
@@ -99,7 +127,7 @@ def main(argv=None):
             baseline_turns=read_table(spark, args.baseline),
             cfg=cfg,
         )
-        _write_outputs(out, args.out)
+        _write_outputs(out, args.out, t0)
         totals = out["totals"].collect()[0]
         byte_count = out["agg_conv"].agg({"byte_count": "sum"}).collect()[0][0] or 0
         status.update(

@@ -55,6 +55,9 @@ class PipelineConfig:
     # parse timestamps from the text (W3 backfill semantics) instead of the
     # native ts column -- for ts-less sources
     parse_timestamps: bool = False
+    # F5 self-reference cut (process.rs:256-258): stop processing a
+    # conversation at the first line containing this marker
+    self_ref_marker: str | None = None
 
 
 # --------------------------------------------------------------------------
@@ -102,6 +105,25 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
         df = df.withColumn("is_ignored", ignored)
     else:
         df = df.withColumn("is_ignored", F.lit(False))
+
+    if cfg.self_ref_marker:
+        # F5: drop the marker line and everything after it, per conversation
+        # (small marker dim -> broadcast anti-range filter)
+        marker_pos = (
+            df.filter(F.col("text").contains(cfg.self_ref_marker))
+            .groupBy(F.col("conv_id").alias("_m_conv"))
+            .agg(
+                F.min(F.struct("turn_idx", "sub_idx")).alias("_m"),
+            )
+        )
+        df = (
+            df.join(F.broadcast(marker_pos), df["conv_id"] == F.col("_m_conv"), "left")
+            .filter(
+                F.col("_m_conv").isNull()
+                | (F.struct("turn_idx", "sub_idx") < F.col("_m"))
+            )
+            .drop("_m_conv", "_m")
+        )
 
     df = df.withColumn("tokens", tokenize_udf()(F.col("text")))
     # unordered dedup key (unordered.rs:9-22), computed JVM-side:

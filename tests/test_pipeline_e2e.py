@@ -127,3 +127,33 @@ def test_sublines_and_length_cap(spark):
     got = parsed.orderBy("turn_idx", "sub_idx").collect()
     assert [r.text for r in got] == ["first line", "second piece", "third piece"]
     assert [r.sub_idx for r in got] == [0, 1, 2]
+
+
+def test_self_ref_cut(spark):
+    from logjuicer_spark.pipeline import PipelineConfig, parse
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": i, "role": "tool", "tool": "bash",
+         "ts": None, "text": t}
+        for i, t in enumerate(
+            ["alpha line", "TASK [run-logjuicer here]", "beta line"], start=1
+        )
+    ]
+    df = gen.to_spark_df(spark, rows)
+    cfg = PipelineConfig(self_ref_marker="TASK [run-logjuicer")
+    got = [r.text for r in parse(df, cfg).orderBy("turn_idx").collect()]
+    assert got == ["alpha line"]
+
+
+def test_fileset_config():
+    from logjuicer_spark.config import FileSetConfig
+
+    c = FileSetConfig()
+    assert c.is_fp_valid("controller/logs/screen-n-api.txt.gz")
+    assert not c.is_fp_valid("job-output.json")
+    assert not c.is_fp_valid("etc/hosts.gz".replace("etc", "/etc"))
+    assert not c.is_fp_valid("x/.hidden-file")
+    assert not c.is_fp_valid("tox/unit.py")
+    c2 = FileSetConfig(includes=("screen-",))
+    assert c2.is_fp_valid("logs/screen-api.txt")
+    assert not c2.is_fp_valid("logs/other.txt")
