@@ -423,3 +423,35 @@ def run(
     out["unknown"] = routed.filter(F.col("route") == "unknown")
     out.update(aggregate(routed))
     return out
+
+
+# --------------------------------------------------------------------------
+# log-file-table adapter
+# --------------------------------------------------------------------------
+
+
+def from_log_table(
+    files_df: DataFrame,
+    source_col: str = "source",
+    line_col: str = "line_nr",
+    text_col: str = "text",
+    fileset=None,
+) -> DataFrame:
+    """Adapt a log-file table (source path, line number, text) — the
+    reference's native input shape — to the TURNS schema: conversation =
+    source file, tool = IndexName::from_path(source) so files with similar
+    paths share one baseline index (index_name.rs:165-177), with the
+    F1 fileset include/exclude predicates applied first."""
+    from .indexname import index_name_udf
+
+    df = files_df
+    if fileset is not None:
+        df = fileset.filter_sources(df, source_col)
+    return df.select(
+        F.col(source_col).alias("conv_id"),
+        F.col(line_col).cast("int").alias("turn_idx"),
+        F.lit("log").alias("role"),
+        F.col(text_col).alias("text"),
+        index_name_udf()(F.col(source_col)).alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )

@@ -157,3 +157,44 @@ def test_fileset_config():
     c2 = FileSetConfig(includes=("screen-",))
     assert c2.is_fp_valid("logs/screen-api.txt")
     assert not c2.is_fp_valid("logs/other.txt")
+
+
+def test_log_file_table_adapter(spark):
+    from logjuicer_spark.config import FileSetConfig
+    from logjuicer_spark.pipeline import from_log_table, run
+
+    def file_rows(source, lines):
+        return [
+            {"source": source, "line_nr": i, "text": t}
+            for i, t in enumerate(lines, start=1)
+        ]
+
+    base_lines = [
+        "2024-03-01 10:00:01,123 INFO api request id=req-8f3a2b1c served quickly",
+        "2024-03-01 10:00:02,456 INFO api request id=req-77ab12ef served quickly",
+        "worker heartbeat sequence 42 nominal",
+    ]
+    fail_lines = [
+        "2024-03-01 11:00:01,123 INFO api request id=req-99ff00aa served quickly",
+        "Traceback oops unexpected failure in request handler",
+        "worker heartbeat sequence 43 nominal",
+    ]
+    baseline = spark.createDataFrame(
+        file_rows("builds/2/api.log", base_lines)
+        + file_rows("builds/2/ignored.py", ["python code not logs"]),
+        "source string, line_nr long, text string",
+    )
+    target = spark.createDataFrame(
+        file_rows("builds/7/api.log", fail_lines),
+        "source string, line_nr long, text string",
+    )
+    fs = FileSetConfig()
+    b = from_log_table(baseline, fileset=fs)
+    t = from_log_table(target, fileset=fs)
+    # both api.log files group under the same IndexName despite build ids
+    assert b.select("tool").distinct().collect()[0].tool == "builds/api.log"
+    out = run(spark, t, baseline_turns=b)
+    anoms = out["anomalies"].collect()
+    assert len(anoms) == 1
+    assert anoms[0].turn_idx == 2 and "Traceback oops" in anoms[0].text
+    assert anoms[0].tool == "builds/api.log"
