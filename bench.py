@@ -40,8 +40,11 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # warm the JVM + python workers with a trivial job
+    # warm the JVM + the python UDF workers (imports numpy/pandas + our
+    # modules once per worker) so timings measure steady-state throughput,
+    # not cluster cold-start
     spark.range(1000).count()
+    eq.q_tokenize(spark, sf_dir).count()
 
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 

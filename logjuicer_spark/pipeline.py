@@ -170,6 +170,7 @@ def enrich(
     parsed: DataFrame,
     bc_indexes,
     cfg: PipelineConfig = PipelineConfig(),
+    count_scored: bool = True,
 ) -> DataFrame:
     """Attach is_known / is_target / score / emit_ok to every parsed row."""
     group = cfg.group_col
@@ -192,7 +193,8 @@ def enrich(
     )
     scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
     scored = scored.persist()
-    n_scored = scored.count()
+    # with count_scored=False (small inputs) we broadcast unconditionally
+    n_scored = scored.count() if count_scored else 0
 
     scored_sel = scored.select(
         F.col("tool").alias("_w_tool"),
@@ -376,6 +378,7 @@ def run(
     model_df: DataFrame | None = None,
     cfg: PipelineConfig = PipelineConfig(),
     work_dir: str | None = None,
+    small_input_rows: int = 200_000,
 ) -> dict[str, DataFrame]:
     """Full diff-style run (E1/E2): train (or load) then report.
 
@@ -395,6 +398,30 @@ def run(
 
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="logjuicer_run_")
+
+    # small inputs skip the stage checkpoints and the train/parse overlap:
+    # at that size the whole DAG re-evaluates in well under a checkpoint's
+    # fixed cost (job scheduling + write + re-scan), so fewer jobs win
+    try:
+        small = target_turns.count() <= small_input_rows
+    except Exception:
+        small = False
+
+    if small:
+        if model_df is None:
+            if baseline_turns is None:
+                raise ValueError("need baseline_turns or model_df")
+            model_df = train_model(spark, baseline_turns, cfg)
+        bc = model_mod.broadcast_indexes(spark, model_mod.collect_indexes(model_df))
+        enriched = enrich(parse(target_turns, cfg), bc, cfg, count_scored=False)
+        route(enriched, cfg).write.mode("overwrite").parquet(f"{work_dir}/routed")
+        routed = spark.read.parquet(f"{work_dir}/routed")
+        out = {"routed": routed, "model": model_df, "work_dir": work_dir}
+        out["anomalies"] = routed.filter(F.col("route") == "anomaly")
+        out["normal"] = routed.filter(F.col("route") == "normal")
+        out["unknown"] = routed.filter(F.col("route") == "unknown")
+        out.update(aggregate(routed))
+        return out
 
     # the target parse and the baseline train are independent job chains:
     # submit both so Spark can overlap them (the scheduler fills idle slots
