@@ -23,9 +23,13 @@ Scale notes (the 100 TB design point):
   exchanges are (tool, dkey) for dedup/enrich and conv_id for contexts
 - if the input table is bucketed/sorted by conv_id (Iceberg bucket
   transform), the route shuffle disappears via storage-partitioned join
-- extremely long conversations are the skew risk for the route stage;
-  route_bucketed() range-buckets monster convs with a 12-line overlap pad
-  (the reference's left_overs trick reborn as boundary padding)
+- extremely long conversations are the residual skew for the route stage
+  (one conversation = one task there). Measured: a 1M-turn conversation
+  routes in-task without stalling the stage (BENCH.md); conversation-level
+  bucketing with checkpoints lives in lineage.run_routed_with_resume.
+  Intra-conversation range-splitting with 12-line overlap pads (the
+  reference's left_overs as boundary padding) is the escape hatch if a
+  single conversation ever exceeds a task's memory
 """
 
 from __future__ import annotations

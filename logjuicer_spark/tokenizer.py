@@ -205,18 +205,21 @@ def _is_base64(word: str) -> bool:
 
 
 def _is_hash(word: str) -> bool:
-    # tokenizer.rs:292-304
-    return not word.startswith("/") and (
-        _HASH_PREFIX_RE.search(word) is not None
-        or _HASH_LONG_RE.search(word) is not None
-    )
+    # tokenizer.rs:292-304. The second alternative needs a 64-char run from
+    # its class, impossible below 64 chars -- skip the scan for short words.
+    if word.startswith("/"):
+        return False
+    if _HASH_PREFIX_RE.search(word) is not None:
+        return True
+    return len(word) >= 64 and _HASH_LONG_RE.search(word) is not None
 
 
 def _is_refs(word: str) -> bool:
     return (
         word.startswith("refs/")
         or word.startswith("repos/")
-        or _REFS_RE.match(word) is not None
+        # ^\w{7}\.\.\w{7}$ requires ".." -- cheap precheck
+        or (".." in word and _REFS_RE.match(word) is not None)
     )
 
 
@@ -225,19 +228,32 @@ def _is_random_path(word: str) -> bool:
     return "tmp/" in word or "/tmp" in word or word.startswith("tmp")
 
 
+_URL_PREFIXES = ("https://", "http://", "ftp://", "ssh://")
+_COOKIE_PREFIXES = ("gAAAA", "AAAA", "tap", "req-", "AUTH_")
+_LC = "abcdefghijklmnopqrstuvwxyz"
+
+
 def _parse_literal(word: str) -> str | None:
-    # tokenizer.rs:455-480 -- the order is part of the contract
-    if _DATE_RE.match(word):
+    """tokenizer.rs:455-480 -- the order is part of the contract. Each
+    regex is guarded by a C-speed precondition implied by its pattern (the
+    golden corpus pins the equivalences)."""
+    # %DATE: all date words are pure ASCII letters, <= 9 chars
+    if len(word) <= 9 and word.isalpha() and _DATE_RE.match(word):
         return "%DATE"
     if _is_hash(word):
         return "%HASH"
     if _is_uid(word):
         return "%ID"
-    if _COOKIE_RE.match(word):
+    # %COOKIE: ^(gAAAA|AAAA|tx[a-z]|tap|req-|AUTH_)
+    if word.startswith(_COOKIE_PREFIXES) or (
+        word.startswith("tx") and len(word) > 2 and word[2] in _LC
+    ):
         return "%COOKIE"
-    if _UUID_RE.match(word):
+    # %UID: pattern needs >= 3 dashes
+    if word.count("-") >= 3 and _UUID_RE.match(word):
         return "%UID"
-    if _URL_RE.match(word):
+    # %URL: case-insensitive scheme prefix
+    if word[:8].lower().startswith(_URL_PREFIXES):
         return "%URL"
     if _is_random_path(word):
         return "%PATH"
@@ -245,7 +261,8 @@ def _parse_literal(word: str) -> str | None:
         return "%REF"
     if _is_base64(word):
         return "%BASE64"
-    if _UNIT_RE.match(word):
+    # %UNIT: ^[a-z]+_[a-z]+\[[0-9]+\]:$
+    if word.endswith(":") and "[" in word and "_" in word and _UNIT_RE.match(word):
         return "%UNIT"
     return None
 
