@@ -405,9 +405,12 @@ def run(
 
     # small inputs skip the stage checkpoints and the train/parse overlap:
     # at that size the whole DAG re-evaluates in well under a checkpoint's
-    # fixed cost (job scheduling + write + re-scan), so fewer jobs win
+    # fixed cost (job scheduling + write + re-scan), so fewer jobs win.
+    # probe with a short-circuiting limit so big inputs pay ~one split scan
     try:
-        small = target_turns.count() <= small_input_rows
+        small = (
+            target_turns.limit(small_input_rows + 1).count() <= small_input_rows
+        )
     except Exception:
         small = False
 
