@@ -41,3 +41,29 @@ def test_errors_run(spark):
     ]
     assert list(a.after) == ["continuing after failure"]
     assert abs(a.score - 0.5) < 1e-6
+
+
+def test_errors_run_with_model_filter(spark):
+    from logjuicer_spark import model as M, pipeline
+
+    # baseline contains the recurring error -> filtered out of the report
+    base = [
+        {"conv_id": "b1", "turn_idx": 1, "role": "tool", "tool": "bash",
+         "ts": None, "text": "controller | controller-0 | FAILED | rc=2 >>"},
+        {"conv_id": "b1", "turn_idx": 2, "role": "tool", "tool": "bash",
+         "ts": None, "text": "ordinary quiet line flowing"},
+    ]
+    target = [
+        {"conv_id": "t1", "turn_idx": 1, "role": "tool", "tool": "bash",
+         "ts": None, "text": "controller | controller-9 | FAILED | rc=2 >>"},
+        {"conv_id": "t1", "turn_idx": 2, "role": "tool", "tool": "bash",
+         "ts": None, "text": "FAIL: totally novel breakage omegafresh here"},
+    ]
+    model_df = pipeline.train_model(spark, gen.to_spark_df(spark, base))
+    bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
+    out = errors_run(
+        spark, gen.to_spark_df(spark, target), model_indexes_bc=bc
+    ).collect()
+    texts = [r.text for r in out]
+    assert any("totally novel breakage" in t for t in texts)
+    assert not any("rc=2" in t for t in texts)  # matches baseline -> filtered

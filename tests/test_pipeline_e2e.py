@@ -198,3 +198,27 @@ def test_log_file_table_adapter(spark):
     assert len(anoms) == 1
     assert anoms[0].turn_idx == 2 and "Traceback oops" in anoms[0].text
     assert anoms[0].tool == "builds/api.log"
+
+
+def test_unknown_route(spark):
+    # a tool with no baseline index routes to 'unknown' untouched
+    # (model.rs:665-673); needs >= 2 trained groups so the single-index
+    # fallback does not kick in
+    rows_b = []
+    for i, tool in [(1, "bash"), (2, "read"), (3, "bash"), (4, "read")]:
+        rows_b.append({"conv_id": "b1", "turn_idx": i, "role": "tool",
+                       "tool": tool, "ts": None,
+                       "text": f"steady state line alpha beta {tool}"})
+    rows_t = [
+        {"conv_id": "t1", "turn_idx": 1, "role": "tool", "tool": "bash",
+         "ts": None, "text": "steady state line alpha beta bash"},
+        {"conv_id": "t1", "turn_idx": 2, "role": "tool", "tool": "mystery",
+         "ts": None, "text": "completely unheard of failure gamma delta"},
+    ]
+    out = pipeline.run(
+        spark,
+        gen.to_spark_df(spark, rows_t),
+        baseline_turns=gen.to_spark_df(spark, rows_b),
+    )
+    routed = {r.turn_idx: r.route for r in out["routed"].collect()}
+    assert routed == {1: "normal", 2: "unknown"}
