@@ -316,12 +316,15 @@ def q_pipeline_anomalies(spark, sf_dir):
     """E1/E2 flagship: full diff run on the events-derived transcript table."""
     from . import pipeline
 
-    t = turns_view(spark, sf_dir)
+    # the events->turns window is consumed by several plan branches; cache
+    # the small materialized view so row_number doesn't recompute per branch
+    t = turns_view(spark, sf_dir).cache()
     baseline = t.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
         "is_baseline", "etype"
     )
     target = t.filter(~F.col("is_baseline")).drop("is_baseline", "etype")
     out = pipeline.run(spark, target, baseline_turns=baseline)
+    t.unpersist()
     return out["anomalies"].select(
         "conv_id", "turn_idx", "tool", "text", F.round("score", 4).alias("score")
     )

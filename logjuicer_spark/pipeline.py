@@ -169,6 +169,19 @@ def _skey():
 # scored dims smaller than this are broadcast to kill the probe-side shuffle
 _BROADCAST_SCORED_ROWS = 5_000_000
 
+# persisted scored dims awaiting release (run() unpersists after its sinks
+# are written; long sessions running many queries would otherwise
+# accumulate executor cache)
+_SCORED_REFS: list = []
+
+
+def release_stage_caches():
+    while _SCORED_REFS:
+        try:
+            _SCORED_REFS.pop().unpersist()
+        except Exception:
+            pass
+
 
 def enrich(
     parsed: DataFrame,
@@ -197,6 +210,7 @@ def enrich(
     )
     scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
     scored = scored.persist()
+    _SCORED_REFS.append(scored)
     # with count_scored=False (small inputs) we broadcast unconditionally
     n_scored = scored.count() if count_scored else 0
 
@@ -422,6 +436,7 @@ def run(
         bc = model_mod.broadcast_indexes(spark, model_mod.collect_indexes(model_df))
         enriched = enrich(parse(target_turns, cfg), bc, cfg, count_scored=False)
         route(enriched, cfg).write.mode("overwrite").parquet(f"{work_dir}/routed")
+        release_stage_caches()
         routed = spark.read.parquet(f"{work_dir}/routed")
         out = {"routed": routed, "model": model_df, "work_dir": work_dir}
         out["anomalies"] = routed.filter(F.col("route") == "anomaly")
@@ -449,6 +464,7 @@ def run(
     parsed = spark.read.parquet(f"{work_dir}/parsed")
     enriched = enrich(parsed, bc, cfg)
     route(enriched, cfg).write.mode("overwrite").parquet(f"{work_dir}/routed")
+    release_stage_caches()
     routed = spark.read.parquet(f"{work_dir}/routed")
 
     out = {"routed": routed, "model": model_df, "work_dir": work_dir}
