@@ -58,6 +58,7 @@ def generate_turns(
     n_tools: int = 8,
     anomaly_stride: int = 211,
     skew_conv_turns: int = 0,
+    unique_tokens: bool = False,
 ) -> DataFrame:
     """Returns a turns DataFrame with an ``is_baseline`` marker column.
 
@@ -76,7 +77,17 @@ def generate_turns(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
             (F.expr("id % 3") + 1).cast("int"),
         ).alias("role"),
-        F.when(is_anom, F.expr(_ANOMALY_SQL)).otherwise(F.expr(_TEMPLATE_SQL)).alias("text"),
+        F.when(is_anom, F.expr(_ANOMALY_SQL))
+        .otherwise(
+            F.concat(
+                F.expr(_TEMPLATE_SQL),
+                # unique-token mode: a letters-only per-row word survives
+                # masking, making every line a distinct token-set (the
+                # scoring-stage worst case: zero dedup leverage)
+                F.expr(f" concat(' uniq', {_TAG_SQL})") if unique_tokens else F.lit(""),
+            )
+        )
+        .alias("text"),
         F.concat(F.lit("node-"), F.expr(f"id % {n_tools}").cast("string")).alias("tool"),
         F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
         is_baseline.alias("is_baseline"),

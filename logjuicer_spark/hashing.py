@@ -180,11 +180,23 @@ class SparseIndex:
             out.append((int(i), c[lo:hi].tolist(), v[lo:hi].tolist()))
         return out
 
+    # per-flush budget of gathered (target, row) pairs: bounds both the
+    # gather arrays and the accumulation cost of one flush
+    _PAIR_BUDGET = 4_000_000
+    # dense accumulator cap: targets_in_batch * nrows cells
+    _DENSE_CELLS = 32_000_000
+
     def score(self, token_lines) -> np.ndarray:
         """Cosine distance of each tokenized line to its nearest baseline row.
 
         Mirrors cosine_distance_chunk (index.rs:85-102): per target,
-        result = min(1.0, 1 - max_row dot); f32 throughout.
+        result = min(1.0, 1 - max_row dot); f32 values.
+
+        Common masked words can appear in a large fraction of baseline rows,
+        so the (target, row) match set is potentially |targets| x |rows|;
+        accumulation therefore runs in pair-budgeted flushes, each choosing
+        between a dense bincount accumulator (overlap-heavy: linear, no
+        sort) and a sort-based compaction (overlap-sparse: tiny pair sets).
         """
         token_lines = list(token_lines)
         m = len(token_lines)
@@ -196,20 +208,51 @@ class SparseIndex:
             return result
         lo = np.searchsorted(self.cols, t_cols, side="left")
         hi = np.searchsorted(self.cols, t_cols, side="right")
-        cnt = hi - lo
+        cnt = (hi - lo).astype(np.int64)
         if int(cnt.sum()) == 0:
             return result
-        gather = _multi_arange(lo, cnt)
-        b_rows = self.rows[gather]
-        prod = self.vals[gather] * np.repeat(t_vals, cnt)
-        t_rep = np.repeat(t_idx, cnt)
-        # sum per (target, baseline_row): compact the key space first
-        keys = t_rep * np.int64(self.nrows) + b_rows
-        uniq, inv = np.unique(keys, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.float32)
-        np.add.at(sums, inv, prod)
-        tgt = (uniq // np.int64(self.nrows)).astype(np.int64)
-        np.minimum.at(result, tgt, np.float32(1.0) - sums)
+
+        # group targets into flushes under the pair budget
+        pairs_per_target = np.bincount(t_idx, weights=cnt, minlength=m).astype(np.int64)
+        cum = np.cumsum(pairs_per_target)
+        # word-entry boundaries per target (t_idx is sorted by construction)
+        word_starts = np.searchsorted(t_idx, np.arange(m + 1))
+        nrows = np.int64(self.nrows)
+
+        start_t = 0
+        while start_t < m:
+            # extend the flush while within budget (always >= 1 target)
+            base_pairs = cum[start_t - 1] if start_t else 0
+            end_t = int(
+                np.searchsorted(cum, base_pairs + self._PAIR_BUDGET, side="right")
+            )
+            end_t = min(max(end_t, start_t + 1), m)
+            ws, we = word_starts[start_t], word_starts[end_t]
+            if ws == we:
+                start_t = end_t
+                continue
+            gather = _multi_arange(lo[ws:we], cnt[ws:we])
+            if len(gather) == 0:
+                start_t = end_t
+                continue
+            b_rows = self.rows[gather]
+            prod = self.vals[gather] * np.repeat(t_vals[ws:we], cnt[ws:we])
+            t_rep = np.repeat(t_idx[ws:we] - start_t, cnt[ws:we]).astype(np.int64)
+            nb = end_t - start_t
+            keys = t_rep * nrows + b_rows
+            if nb * self.nrows <= self._DENSE_CELLS:
+                sums = np.bincount(keys, weights=prod, minlength=nb * self.nrows)
+                best = sums.reshape(nb, self.nrows).max(axis=1).astype(np.float32)
+                result[start_t:end_t] = np.minimum(
+                    result[start_t:end_t], np.float32(1.0) - best
+                )
+            else:
+                uniq, inv = np.unique(keys, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.float32)
+                np.add.at(sums, inv, prod)
+                tgt = (uniq // nrows).astype(np.int64) + start_t
+                np.minimum.at(result, tgt, np.float32(1.0) - sums)
+            start_t = end_t
         return result
 
 

@@ -167,7 +167,7 @@ def _skey():
 
 
 # scored dims smaller than this are broadcast to kill the probe-side shuffle
-_BROADCAST_SCORED_ROWS = 5_000_000
+_BROADCAST_SCORED_ROWS = 1_000_000
 
 # persisted scored dims awaiting release (run() unpersists after its sinks
 # are written; long sessions running many queries would otherwise

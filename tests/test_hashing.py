@@ -110,3 +110,20 @@ def test_chunked_slicing_equivalence():
     d = score_lines(model, targets)
     assert d.dtype == np.float32
     assert ((d >= 0.0) | np.isclose(d, 0.0)).all() and (d <= 1.0).all()
+
+
+def test_overlap_heavy_scoring_budgeted():
+    # common masked words shared by every baseline row used to explode the
+    # sort-based accumulator; the pair-budgeted bincount path must stay
+    # linear. 2k targets x 8k rows x 9 shared words ~ 144M pair-products.
+    import time
+
+    base = [f"alpha beta gamma delta epsilon tag{i} zeta eta theta" for i in range(8000)]
+    idx = build_matrix(base)
+    targets = [f"alpha beta gamma delta epsilon tag{90000+i} zeta eta theta" for i in range(2000)]
+    t0 = time.perf_counter()
+    d = idx.score(targets)
+    dt = time.perf_counter() - t0
+    # 8 of 9 words shared -> similarity 8/9, distance ~0.111
+    assert np.allclose(d, 1 - 8 / 9, atol=1e-5)
+    assert dt < 60  # was effectively unbounded with sort-based compaction
