@@ -60,6 +60,12 @@ def test_routed_partition(result, corpus, spark):
     target_rows = corpus[1]
     # sub-line explode is a no-op on this corpus (no newlines) -> row parity
     assert routed.count() == len(target_rows)
+    # per-turn text equality under stable turn ordering (input_hint's
+    # per-row invariant): the routed sink preserves every turn verbatim
+    got_rows = routed.select("conv_id", "turn_idx", "text").collect()
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in got_rows)
+    want = sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in target_rows)
+    assert got == want
     routes = {r.route for r in routed.select("route").distinct().collect()}
     assert routes <= {"anomaly", "normal", "unknown"}
     assert routed.filter(F.col("route") == "unknown").count() == 0
