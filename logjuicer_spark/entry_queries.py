@@ -527,3 +527,150 @@ QUERIES.update(
         "q_media_features": q_media_features,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# OLAP operator classes (rollup / pivot / sessionization / as-of / cut)
+# --------------------------------------------------------------------------
+
+def q_rollup(spark, sf_dir):
+    """Rollup aggregation over lineitem (grouping-set hierarchy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot: per-conversation counts by event type."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "login", "purchase", "signup", "view"]
+    p = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    return p.select("user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types])
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per conversation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_asof_last_login(spark, sf_dir):
+    """As-of lookup: for each error event, the most recent prior login of
+    the same conversation (window formulation of the as-of join)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    login_ts = F.last(
+        F.when(F.col("event_type") == "login", F.col("ts")), ignorenulls=True
+    ).over(w)
+    d = ev.withColumn("last_login_ts", login_ts).filter(F.col("event_type") == "error")
+    return d.select(
+        "user_id",
+        "event_id",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("last_login_ts").cast("timestamp").cast("long")
+        ).alias("secs_since_login"),
+    )
+
+
+def q_self_ref_cut(spark, sf_dir):
+    """F5-style cut as a relational op: keep events strictly before the
+    conversation's first error."""
+    ev = _t(spark, sf_dir, "events")
+    first_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("_u"))
+        .agg(F.min(F.struct("ts", "event_id")).alias("_m"))
+    )
+    j = ev.join(F.broadcast(first_err), ev["user_id"] == F.col("_u"), "left")
+    kept = j.filter(
+        F.col("_u").isNull() | (F.struct("ts", "event_id") < F.col("_m"))
+    )
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("kept_events"))
+
+
+ORACLE_SQL.update(
+    {
+        "q_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS rflag,"
+            " COALESCE(l_linestatus, 'ALL') AS lstatus, COUNT(*) AS n,"
+            " ROUND(SUM(l_extendedprice), 2) AS revenue"
+            " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "q_pivot": (
+            "SELECT user_id,"
+            " SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,"
+            " SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,"
+            " SUM(CASE WHEN event_type='login' THEN 1 ELSE 0 END) AS n_login,"
+            " SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,"
+            " SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,"
+            " SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view"
+            " FROM events GROUP BY user_id"
+        ),
+        "q_sessionize": (
+            "WITH g AS (SELECT user_id, event_id, ts,"
+            "  CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800"
+            "       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT user_id,"
+            "  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "    ROWS UNBOUNDED PRECEDING) AS session_id FROM g)"
+            " SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events"
+            " FROM s GROUP BY user_id"
+        ),
+        "q_asof_last_login": (
+            "WITH d AS (SELECT user_id, event_id, ts, event_type,"
+            "  last_value(CASE WHEN event_type='login' THEN ts END IGNORE NULLS)"
+            "   OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "         ROWS UNBOUNDED PRECEDING) AS last_login_ts"
+            "  FROM events)"
+            " SELECT user_id, event_id,"
+            "  epoch(ts)::BIGINT - epoch(last_login_ts)::BIGINT AS secs_since_login"
+            " FROM d WHERE event_type = 'error'"
+        ),
+        "q_self_ref_cut": (
+            "WITH fe AS (SELECT user_id, MIN(ROW(ts, event_id)) AS m"
+            "  FROM events WHERE event_type='error' GROUP BY user_id)"
+            " SELECT e.user_id, COUNT(*) AS kept_events"
+            " FROM events e LEFT JOIN fe ON e.user_id = fe.user_id"
+            " WHERE fe.user_id IS NULL OR ROW(e.ts, e.event_id) < fe.m"
+            " GROUP BY e.user_id"
+        ),
+    }
+)
+
+QUERIES.update(
+    {
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_sessionize": q_sessionize,
+        "q_asof_last_login": q_asof_last_login,
+        "q_self_ref_cut": q_self_ref_cut,
+    }
+)
