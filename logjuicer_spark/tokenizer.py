@@ -176,7 +176,10 @@ def _trim_quote_and_punctuation(word: str) -> str:
 
 def global_filter(line: str) -> bool:
     # tokenizer.rs:64-90: single-word lines (no whitespace) are filtered too
-    return _WHITESPACE_RE.search(line) is None or _GLOBAL_RE.search(line) is not None
+    # (fast path: a space is by far the most common whitespace)
+    if " " not in line and _WHITESPACE_RE.search(line) is None:
+        return True
+    return _GLOBAL_RE.search(line) is not None
 
 
 def _remove_numbers(word: str) -> str:
@@ -205,11 +208,12 @@ def _is_base64(word: str) -> bool:
 
 
 def _is_hash(word: str) -> bool:
-    # tokenizer.rs:292-304. The second alternative needs a 64-char run from
-    # its class, impossible below 64 chars -- skip the scan for short words.
+    # tokenizer.rs:292-304. The prefix alternative must start with h/s/m
+    # (case-insensitive); the long alternative needs a 64-char run from its
+    # class, impossible below 64 chars.
     if word.startswith("/"):
         return False
-    if _HASH_PREFIX_RE.search(word) is not None:
+    if word[:1] in "hsmHSM" and _HASH_PREFIX_RE.match(word) is not None:
         return True
     return len(word) >= 64 and _HASH_LONG_RE.search(word) is not None
 
@@ -414,7 +418,13 @@ def process(line: str) -> str:
         return "%GL_FILTER"
     out: list[str] = []
     skip = 0
-    for word in _WORDS_RE.split(line):
+    # fast path: without tabs, backslashes or separator runs, the split
+    # regex degenerates to a plain space split
+    if "\t" not in line and "\\" not in line and "  " not in line:
+        words = line.split(" ")
+    else:
+        words = _WORDS_RE.split(line)
+    for word in words:
         if skip:
             skip -= 1
             continue
