@@ -674,3 +674,23 @@ QUERIES.update(
         "q_self_ref_cut": q_self_ref_cut,
     }
 )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles of value per event type (the
+    score-distribution summary an aggregate stage publishes)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORACLE_SQL["q_quantiles"] = (
+    "SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50,"
+    " ROUND(quantile_cont(value, 0.9), 4) AS p90,"
+    " ROUND(quantile_cont(value, 0.99), 4) AS p99"
+    " FROM events GROUP BY event_type"
+)
+QUERIES["q_quantiles"] = q_quantiles

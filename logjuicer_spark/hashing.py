@@ -85,21 +85,41 @@ def vectorize(tokens: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _vectorize_batch(token_lines) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorize a batch of lines -> (row_idx, cols, normalized vals)."""
-    rows: list[np.ndarray] = []
-    cols: list[np.ndarray] = []
-    vals: list[np.ndarray] = []
-    for i, line in enumerate(token_lines):
-        c, v = vectorize(line)
-        n = len(c)
-        nrm = np.float32(np.sqrt(np.float32(n))) if n else np.float32(1.0)
-        rows.append(np.full(n, i, dtype=np.int64))
-        cols.append(c)
-        vals.append((v / nrm).astype(np.float32))
-    if not rows:
+    """Vectorize a batch of lines -> (row_idx, cols, normalized vals).
+
+    Batch formulation: one hash-based vocabulary factorization (only unique
+    words pay fxhash32), one stable lexsort for the per-row bucket dedup
+    (first occurrence keeps its sign, matching index.rs:188-208), one
+    bincount for the L2 norms.
+    """
+    if not token_lines:
         e = np.empty(0, dtype=np.int64)
         return e, e.copy(), np.empty(0, dtype=np.float32)
-    return np.concatenate(rows), np.concatenate(cols), np.concatenate(vals)
+    import pandas as pd
+
+    word_lists = [l.split(" ") for l in token_lines]
+    lens = np.fromiter(
+        (len(w) for w in word_lists), dtype=np.int64, count=len(word_lists)
+    )
+    flat = [w for ws in word_lists for w in ws]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    ub = np.empty(len(uniques), dtype=np.int64)
+    us = np.empty(len(uniques), dtype=np.float32)
+    for i, w in enumerate(uniques):
+        ub[i], us[i] = word_bucket(w)
+    cols = ub[codes]
+    vals = us[codes]
+    rows = np.repeat(np.arange(len(token_lines), dtype=np.int64), lens)
+    order = np.lexsort((cols, rows))  # stable: first occurrence wins ties
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    keep = np.ones(len(cols), dtype=bool)
+    keep[1:] = (cols[1:] != cols[:-1]) | (rows[1:] != rows[:-1])
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    nnz = np.bincount(rows, minlength=len(token_lines))
+    nrm = np.sqrt(nnz.astype(np.float32))
+    nrm[nnz == 0] = np.float32(1.0)
+    vals = (vals / nrm[rows]).astype(np.float32)
+    return rows, cols, vals
 
 
 def _multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
