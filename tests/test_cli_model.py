@@ -69,3 +69,15 @@ def test_cli_diff_and_errors(spark, corpus_dirs, capsys):
               "--model", f"{d}/model2"])
     status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert status["anomalies"] == len(expected)
+
+
+def test_model_metrics_columns(spark, corpus_dirs):
+    d, _ = corpus_dirs
+    model_df = pipeline.train_model(spark, spark.read.parquet(f"{d}/baseline"))
+    rows = model_df.select("group_key", "line_count", "byte_count").distinct().collect()
+    # trainer counters: every non-ignored read line, pre-dedup
+    # (3 convs x 25 turns, 4 tools cycling -> 18-19 lines per tool per conv)
+    per_group = {r.group_key: (r.line_count, r.byte_count) for r in rows}
+    assert set(per_group) == {"bash", "read", "http", "search"}
+    assert sum(lc for lc, _ in per_group.values()) == 75
+    assert all(bc > 0 for _, bc in per_group.values())
