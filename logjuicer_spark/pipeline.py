@@ -62,6 +62,9 @@ class PipelineConfig:
     # F5 self-reference cut (process.rs:256-258): stop processing a
     # conversation at the first line containing this marker
     self_ref_marker: str | None = None
+    # S2/S3: 'text' uses the JVM regex sub-line split; 'json'/'xml' run the
+    # exact reader automaton (splitter.py) as a pandas UDF
+    file_type: str = "text"
 
 
 # --------------------------------------------------------------------------
@@ -76,7 +79,22 @@ _SUBLINE_SEP = "(?<!\\\\)\\\\[nr]|\r\n|\n|\r"
 def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Project the turns table to sub-line grain with tokens + dedup key."""
     df = turns
-    if cfg.explode_sublines:
+    if cfg.explode_sublines and cfg.file_type != "text":
+        from .splitter import split_udf
+
+        df = (
+            df.withColumn("_parts", split_udf(cfg.file_type)(F.col("text")))
+            .select(
+                "conv_id", "turn_idx", "role", "tool", "ts",
+                F.explode("_parts").alias("_p"),
+            )
+            .select(
+                "conv_id", "turn_idx", "role", "tool", "ts",
+                F.col("_p.sub").alias("sub_idx"),
+                F.col("_p.piece").alias("text"),
+            )
+        )
+    elif cfg.explode_sublines:
         stripped = F.regexp_replace("text", "(\r\n|\n|\r)$", "")
         df = (
             df.withColumn("_parts", F.split(stripped, _SUBLINE_SEP))

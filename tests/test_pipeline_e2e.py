@@ -228,3 +228,21 @@ def test_unknown_route(spark):
     )
     routed = {r.turn_idx: r.route for r in out["routed"].collect()}
     assert routed == {1: "normal", 2: "unknown"}
+
+
+def test_json_file_type_parse(spark):
+    from logjuicer_spark.pipeline import PipelineConfig, parse
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 1, "role": "tool", "tool": "bash",
+         "ts": None, "text": '[42, 43,\n {"key": "value", o:[1,2]}]'},
+    ]
+    df = gen.to_spark_df(spark, rows)
+    got = [
+        r.text
+        for r in parse(df, PipelineConfig(file_type="json"))
+        .orderBy("sub_idx")
+        .collect()
+    ]
+    # iterator.rs:424-442 golden pieces (empty pieces dropped by parse)
+    assert got == ["42", " 43", " ", '"key": "value"', " o:", "1", "2"]
