@@ -18,6 +18,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Staging area for UDF-produced intermediates (minhash/simhash signatures,
+# media payloads, ...) so the DuckDB oracle can verify the RELATIONAL part
+# of a UDF-bearing query (banding, bucket joins, aggregation) over the exact
+# same rows via read_parquet. The path is fixed because oracle_sql() strings
+# are static; the query writes it immediately before the oracle reads it.
+ORACLE_STAGE = "/tmp/lj_oracle"
+
+
+def _stage(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    path = f"{ORACLE_STAGE}/{name}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 # --------------------------------------------------------------------------
 # the deterministic events -> turns mapping (shared by entry() and queries)
 # --------------------------------------------------------------------------
@@ -132,13 +146,25 @@ def q_context_window(spark, sf_dir):
 
 
 def q_agg_counts(spark, sf_dir):
-    """A1/A2/A3: per-conv line/byte/anomaly-ish counters."""
+    """A1/A2/A3: per-conv line/byte/anomaly-ish counters.
+
+    mean_value accumulates through an exact DECIMAL sum rather than a
+    float64 AVG: double accumulation is order-dependent, and Spark vs
+    DuckDB summation orders once produced a 4-dp rounding tie
+    (56.2087 vs 56.2088). The decimal sum is exact and its cast to double
+    plus the division are IEEE-deterministic, so both engines produce
+    bit-identical means with NO final ROUND — a ROUND would reintroduce
+    engine-specific tie behavior on exact 4-dp midpoints (measured:
+    3118.29/56 = 55.68375 rounds 55.6837 in Spark, 55.6838 in DuckDB)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("line_count"),
         F.sum(F.octet_length("props")).alias("byte_count"),
         F.sum((F.col("event_type") == "error").cast("long")).alias("error_count"),
-        F.round(F.avg("value"), 4).alias("mean_value"),
+        (
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
     )
 
 
@@ -259,10 +285,14 @@ ORACLE_SQL = {
         " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
         " WHERE event_type = 'error'"
     ),
+    # DuckDB SUMs of integers return HUGEINT (int128), which lands in pandas
+    # as dtype=object and hash-mismatches Spark's BIGINT — cast every SUM.
     "q_agg_counts": (
-        "SELECT user_id, COUNT(*) AS line_count, SUM(strlen(props)) AS byte_count,"
-        " SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS error_count,"
-        " ROUND(AVG(value), 4) AS mean_value FROM events GROUP BY user_id"
+        "SELECT user_id, COUNT(*) AS line_count,"
+        " CAST(SUM(strlen(props)) AS BIGINT) AS byte_count,"
+        " CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,"
+        " CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS mean_value"
+        " FROM events GROUP BY user_id"
     ),
     "q_score_hist": (
         "SELECT LEAST(CAST(FLOOR(value/50) AS INT), 19) AS bucket, COUNT(*) AS count"
@@ -368,64 +398,115 @@ def q_quality(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs over documents."""
+    """MinHash+LSH near-duplicate candidate pairs over documents. The
+    signature UDF output is staged so the oracle reproduces the banding,
+    bucket join and Jaccard-estimate verify over identical signatures."""
     from .extras.dedup import minhash_lsh_pairs, minhash_signatures
 
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    sigs = _stage(
+        spark, minhash_signatures(_t(spark, sf_dir, "documents")), "minhash_sigs"
+    )
     return minhash_lsh_pairs(sigs, threshold=0.5)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-duplicate pairs (Hamming <= 3)."""
+    """SimHash near-duplicate pairs (Hamming <= 3); signatures staged so the
+    oracle replays the pigeonhole banding + Hamming verify."""
     from .extras.dedup import simhash_near_pairs, simhash_signatures
 
-    sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
+    sigs = _stage(
+        spark, simhash_signatures(_t(spark, sf_dir, "documents")), "simhash_sigs"
+    )
     return simhash_near_pairs(sigs)
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
-    from .extras.dedup import embedding_near_dup
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets; the
+    bucket assignments are staged so the oracle replays the bucket join +
+    exact-cosine verify."""
+    from .extras.dedup import embedding_buckets, embedding_verify
 
-    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.98)
+    e = _stage(
+        spark, embedding_buckets(_t(spark, sf_dir, "embeddings")), "emb_buckets"
+    )
+    return embedding_verify(e, threshold=0.98)
 
 
 def q_fingerprint(spark, sf_dir):
-    """Winnowing fingerprints per document."""
+    """Winnowing fingerprints, exploded to relational (id, pos, fp) grain
+    (scalar columns so results sort/hash cleanly; also the useful shape for
+    the clone-pair join). The per-doc arrays are staged to parquet so the
+    oracle can verify the explode over identical inputs."""
     from .extras.textstats import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    sigs = _stage(spark, fingerprint(_t(spark, sf_dir, "documents")), "fp_sigs")
+    return sigs.select("id", F.posexplode("fingerprints").alias("pos", "fp"))
+
+
+def q_fingerprint_pairs(spark, sf_dir):
+    """Cross-doc clone detection: explode fingerprints, bucket-join on the
+    shared fingerprint value, count shared fingerprints per doc pair.
+    Mirrors the dedup suite's shape — no all-pairs product, only docs
+    sharing a fingerprint ever meet."""
+    from .extras.textstats import fingerprint, fingerprint_pairs
+
+    sigs = _stage(
+        spark, fingerprint(_t(spark, sf_dir, "documents")), "fp_sigs_pairs"
+    )
+    return fingerprint_pairs(sigs, min_shared=2)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k against the vec_id 0 query."""
-    from .extras.ann import ivf_topk, train_centroids
+    """IVF approximate top-k against the vec_id 0 query. Cell assignments
+    and the probed-cell list are staged; the oracle replays the pruning +
+    exact cosine top-k."""
+    from .extras.ann import ivf_assign, ivf_search, probe_cells, train_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     cents = train_centroids(emb, n_cells=8)
-    return ivf_topk(spark, emb, query, cents, k=20, nprobe=3)
+    cells = _stage(
+        spark,
+        ivf_assign(spark, emb, cents).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "cell"
+        ),
+        "ivf_cells",
+    )
+    probe = probe_cells(cents, query, nprobe=3)
+    _stage(spark, spark.createDataFrame([(int(c),) for c in probe], "cell int"), "ivf_probe")
+    return ivf_search(cells, query, probe, k=20)
 
 
-def q_errors_report(spark, sf_dir):
-    """E3: model-free error extraction over the events-derived transcripts
-    (error events rendered with a syslog-style error marker so the
-    single-line error regex set has something to find)."""
-    from .errors import errors_run
-
+def _errors_turns(spark, sf_dir):
+    """Events-derived transcripts with a syslog-style error marker on error
+    events so the single-line error regex set has something to find."""
     t = turns_view(spark, sf_dir)
-    t = t.withColumn(
+    return t.withColumn(
         "text",
         F.when(
             F.col("etype") == "error", F.concat(F.col("text"), F.lit(' msg="error occurred"'))
         ).otherwise(F.col("text")),
     ).drop("is_baseline", "etype")
+
+
+def q_errors_report(spark, sf_dir):
+    """E3: model-free error extraction. The FSM-classified candidate lines
+    are staged; the oracle independently re-derives the report rows from
+    them (global first-occurrence dedup per token-set), which checks that
+    errors_run's sequential assembly agrees with the relational spec."""
+    from . import pipeline as P
+    from .errors import error_candidates, errors_run
+
+    t = _errors_turns(spark, sf_dir)
+    _stage(spark, error_candidates(P.parse(t, P.PipelineConfig())), "err_cands")
     out = errors_run(spark, t)
     return out.select("conv_id", "turn_idx", "tool", "text", "score")
 
 
 def q_similarity_report(spark, sf_dir):
-    """J4: cross-target anomaly co-occurrence over two flagship runs."""
+    """J4: cross-target anomaly co-occurrence over two flagship runs. The
+    labeled anomaly union (pipeline + tokenizer UDF output) is staged; the
+    oracle reproduces the whole similarity-report aggregation from it."""
     from . import pipeline
     from .similarity import similarity_report
     from .tokenizer import tokenize_udf
@@ -447,17 +528,35 @@ def q_similarity_report(spark, sf_dir):
             .withColumn("tokens", tokenize_udf()(F.col("text")))
         )
         labeled = a if labeled is None else labeled.unionByName(a)
+    labeled = _stage(
+        spark,
+        labeled.select(
+            "target_id", "conv_id", "turn_idx", "sub_idx", "text", "tokens", "tool"
+        ),
+        "sim_labeled",
+    )
     rep = similarity_report(labeled)
     return rep.select("group", "tokens", "conv_id", "turn_idx", "n_sources")
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payloads -> feature extraction."""
+    """Multimodal plumbing: binary payloads -> typed metadata via the
+    mapInPandas extractor. The synthetic media table is staged so the oracle
+    recomputes n_bytes/decode_ok, plus a JVM-side content hash over the hex
+    encoding (DuckDB's sha256 takes VARCHAR only, so both engines hash the
+    hex form; the extractor's raw-byte sha256 is unit-tested against
+    F.sha2(payload) separately)."""
     from .extras.multimodal import extract_features, synth_media
 
-    media = synth_media(spark, 96)
-    return extract_features(media).select(
-        "media_id", "modality", "n_bytes", "sha256", "decode_ok"
+    media = _stage(spark, synth_media(spark, 96), "media")
+    feats = extract_features(media).select("media_id", "modality", "n_bytes", "decode_ok")
+    sha = media.select(
+        F.col("media_id").alias("_mid"), F.sha2(F.hex("payload"), 256).alias("sha_hex")
+    )
+    return (
+        feats.join(F.broadcast(sha), feats["media_id"] == F.col("_mid"))
+        .drop("_mid")
+        .select("media_id", "modality", "n_bytes", "sha_hex", "decode_ok")
     )
 
 
@@ -521,10 +620,109 @@ QUERIES.update(
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_fingerprint": q_fingerprint,
+        "q_fingerprint_pairs": q_fingerprint_pairs,
         "q_ann_ivf": q_ann_ivf,
         "q_errors_report": q_errors_report,
         "q_similarity_report": q_similarity_report,
         "q_media_features": q_media_features,
+    }
+)
+
+
+# Oracles over ORACLE_STAGE intermediates: the UDF stage (signatures, cell
+# assignments, FSM candidates, ...) is staged to parquet by the query itself;
+# DuckDB then independently reproduces every relational step downstream of
+# the UDF (banding, bucket joins, dedup, verification, aggregation).
+ORACLE_SQL.update(
+    {
+        "q_fingerprint": (
+            f"SELECT id, CAST(generate_subscripts(fingerprints, 1) - 1 AS INT) AS pos,"
+            f" unnest(fingerprints) AS fp"
+            f" FROM read_parquet('{ORACLE_STAGE}/fp_sigs.parquet/*.parquet')"
+        ),
+        "q_fingerprint_pairs": (
+            f"WITH ex AS (SELECT DISTINCT id, unnest(fingerprints) AS fp"
+            f" FROM read_parquet('{ORACLE_STAGE}/fp_sigs_pairs.parquet/*.parquet'))"
+            " SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS shared_count"
+            " FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id"
+            " GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+        ),
+        "q_minhash_pairs": (
+            f"WITH sigs AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/minhash_sigs.parquet/*.parquet')),"
+            " banded AS ("
+            "  SELECT id, band, array_to_string(sig[(band*4+1):(band*4+4)], '-') AS bucket"
+            "  FROM sigs, (SELECT unnest(range(0,32)) AS band)),"
+            " cands AS ("
+            "  SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l"
+            "  JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),"
+            " j AS ("
+            "  SELECT id_a, id_b, sa.sig AS sig_a, sb.sig AS sig_b FROM cands"
+            "  JOIN sigs sa ON sa.id = cands.id_a JOIN sigs sb ON sb.id = cands.id_b)"
+            " SELECT id_a, id_b,"
+            "  ROUND(len(list_filter(range(1,129), i -> sig_a[i] = sig_b[i])) / 128.0, 4)"
+            "   AS est_jaccard"
+            " FROM j"
+            " WHERE ROUND(len(list_filter(range(1,129), i -> sig_a[i] = sig_b[i])) / 128.0, 4)"
+            "  >= 0.5"
+        ),
+        "q_simhash_pairs": (
+            f"WITH sigs AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/simhash_sigs.parquet/*.parquet')),"
+            " chunks AS ("
+            "  SELECT id, simhash, band, (simhash >> (16*band)) & 65535 AS chunk"
+            "  FROM sigs, (SELECT unnest(range(0,4)) AS band)),"
+            " cands AS ("
+            "  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.simhash AS sh_a, r.simhash AS sh_b"
+            "  FROM chunks l JOIN chunks r"
+            "  ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id)"
+            " SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming"
+            " FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3"
+        ),
+        "q_embedding_near_dup": (
+            f"WITH e AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/emb_buckets.parquet/*.parquet'))"
+            " SELECT l.id AS id_a, r.id AS id_b,"
+            "  ROUND(list_cosine_similarity(l.v, r.v), 4) AS cos_sim"
+            " FROM e l JOIN e r ON l.bucket = r.bucket AND l.id < r.id"
+            " WHERE ROUND(list_cosine_similarity(l.v, r.v), 4) >= 0.98"
+        ),
+        "q_ann_ivf": (
+            f"WITH c AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/ivf_cells.parquet/*.parquet')),"
+            f" p AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/ivf_probe.parquet/*.parquet')),"
+            " q AS (SELECT embedding AS qv FROM c WHERE vec_id = 0)"
+            " SELECT c.vec_id AS id, ROUND(list_cosine_similarity(c.embedding, q.qv), 4)"
+            "  AS cos_sim"
+            " FROM c, q WHERE c.cell IN (SELECT cell FROM p)"
+            " ORDER BY cos_sim DESC, id LIMIT 20"
+        ),
+        "q_errors_report": (
+            f"WITH c AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/err_cands.parquet/*.parquet')),"
+            " w AS (SELECT dkey, MIN(struct_pack(c := conv_id, t := turn_idx, s := sub_idx))"
+            "  AS m FROM c GROUP BY dkey)"
+            " SELECT c.conv_id, c.turn_idx, c.tool, c.text, CAST(0.5 AS FLOAT) AS score"
+            " FROM c JOIN w ON c.dkey = w.dkey"
+            " WHERE c.conv_id = (w.m).c AND c.turn_idx = (w.m).t AND c.sub_idx = (w.m).s"
+        ),
+        "q_similarity_report": (
+            f"WITH a AS (SELECT tool AS grp, target_id, conv_id, turn_idx, sub_idx, tokens"
+            f" FROM read_parquet('{ORACLE_STAGE}/sim_labeled.parquet/*.parquet')),"
+            " f AS (SELECT grp, tokens,"
+            "  MIN(struct_pack(t := target_id, c := conv_id, ti := turn_idx, s := sub_idx)) AS m"
+            "  FROM a GROUP BY grp, tokens),"
+            " contrib AS ("
+            "  SELECT a.grp, a.tokens, a.target_id, a.conv_id, f.m"
+            "  FROM a JOIN f ON a.grp = f.grp AND a.tokens = f.tokens"
+            "  WHERE (a.target_id = (f.m).t AND a.conv_id = (f.m).c"
+            "         AND a.turn_idx = (f.m).ti AND a.sub_idx = (f.m).s)"
+            "     OR a.target_id > (f.m).t)"
+            " SELECT grp AS \"group\", tokens, (MIN(m)).c AS conv_id, (MIN(m)).ti AS turn_idx,"
+            "  CAST(COUNT(DISTINCT ROW(target_id, conv_id)) AS INT) AS n_sources"
+            " FROM contrib GROUP BY grp, tokens"
+        ),
+        "q_media_features": (
+            f"SELECT media_id, modality, CAST(octet_length(payload) AS INT) AS n_bytes,"
+            f" sha256(hex(payload)) AS sha_hex,"
+            f" modality IN ('image','audio','video') AS decode_ok"
+            f" FROM read_parquet('{ORACLE_STAGE}/media.parquet/*.parquet')"
+        ),
     }
 )
 
@@ -623,14 +821,16 @@ ORACLE_SQL.update(
             " ROUND(SUM(l_extendedprice), 2) AS revenue"
             " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
+        # CAST ... AS BIGINT everywhere: DuckDB integer SUM yields HUGEINT,
+        # which hash-mismatches Spark's BIGINT in the driver's canonicalizer
         "q_pivot": (
             "SELECT user_id,"
-            " SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,"
-            " SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,"
-            " SUM(CASE WHEN event_type='login' THEN 1 ELSE 0 END) AS n_login,"
-            " SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,"
-            " SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,"
-            " SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view"
+            " CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,"
+            " CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,"
+            " CAST(SUM(CASE WHEN event_type='login' THEN 1 ELSE 0 END) AS BIGINT) AS n_login,"
+            " CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,"
+            " CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,"
+            " CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view"
             " FROM events GROUP BY user_id"
         ),
         "q_sessionize": (
@@ -641,8 +841,8 @@ ORACLE_SQL.update(
             " s AS (SELECT user_id,"
             "  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
             "    ROWS UNBOUNDED PRECEDING) AS session_id FROM g)"
-            " SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events"
-            " FROM s GROUP BY user_id"
+            " SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,"
+            " COUNT(*) AS n_events FROM s GROUP BY user_id"
         ),
         "q_asof_last_login": (
             "WITH d AS (SELECT user_id, event_id, ts, event_type,"

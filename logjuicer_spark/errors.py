@@ -284,6 +284,37 @@ ERRORS_SCHEMA = (
     "before array<string>, after array<string>"
 )
 
+CAND_SCHEMA = (
+    "conv_id string, turn_idx int, sub_idx int, tool string, text string, dkey string"
+)
+
+
+def error_candidates(parsed) -> "pd.DataFrame":
+    """Per-conversation FSM classification -> error-classified lines with
+    their token-set dedup keys (the UDF half of the errors report; the
+    dedup + emit logic downstream is relational and SQL-oracle-able over a
+    staged copy of this output)."""
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["turn_idx", "sub_idx"], kind="stable")
+        texts = pdf["text"].tolist()
+        res = classify_lines(texts)
+        err = (res == ERROR) | (res == COMPLETED)
+        err &= ~pdf["is_ignored"].to_numpy(dtype=bool)
+        sel = pdf.loc[err]
+        return pd.DataFrame(
+            {
+                "conv_id": sel["conv_id"],
+                "turn_idx": sel["turn_idx"],
+                "sub_idx": sel["sub_idx"],
+                "tool": sel["tool"],
+                "text": sel["text"],
+                "dkey": [dedup_key(process(t)) for t in sel["text"]],
+            }
+        )
+
+    return parsed.groupBy("conv_id").applyInPandas(_scan, CAND_SCHEMA)
+
 
 def errors_run(spark, turns, cfg=None, skip_duplicate=True, model_indexes_bc=None):
     """Full errors report over a turns DataFrame.
@@ -301,26 +332,7 @@ def errors_run(spark, turns, cfg=None, skip_duplicate=True, model_indexes_bc=Non
 
     cfg = cfg or P.PipelineConfig()
     parsed = P.parse(turns, cfg)
-
-    cand_schema = "conv_id string, turn_idx int, sub_idx int, dkey string"
-
-    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["turn_idx", "sub_idx"], kind="stable")
-        texts = pdf["text"].tolist()
-        res = classify_lines(texts)
-        err = (res == ERROR) | (res == COMPLETED)
-        err &= ~pdf["is_ignored"].to_numpy(dtype=bool)
-        sel = pdf.loc[err]
-        return pd.DataFrame(
-            {
-                "conv_id": sel["conv_id"],
-                "turn_idx": sel["turn_idx"],
-                "sub_idx": sel["sub_idx"],
-                "dkey": [dedup_key(process(t)) for t in sel["text"]],
-            }
-        )
-
-    candidates = parsed.groupBy("conv_id").applyInPandas(_scan, cand_schema)
+    candidates = error_candidates(parsed)
     if skip_duplicate:
         gl = (
             candidates.groupBy("dkey")

@@ -53,6 +53,44 @@ def train_centroids(emb: DataFrame, n_cells: int = 16, vec_col="embedding",
     return cent
 
 
+def ivf_assign(spark, emb: DataFrame, centroids: np.ndarray, vec_col="embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid cell (vectorized pandas
+    UDF over the broadcast codebook). Returns emb + a ``cell`` int column."""
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        cent = bc.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", _cell(F.col(vec_col)))
+
+
+def probe_cells(centroids: np.ndarray, query_vec, nprobe: int = 4) -> list[int]:
+    """The query's nprobe closest centroid cells."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    return np.argsort(-(centroids @ qn))[:nprobe].tolist()
+
+
+def ivf_search(
+    cells: DataFrame, query_vec, probe: list[int], k: int = 10,
+    id_col="vec_id", vec_col="embedding",
+) -> DataFrame:
+    """Prune to the probed cells, exact cosine top-k within them (pure JVM
+    expressions — the pruning filter pushes down to the cell column)."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        cells.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col).alias("id"), F.round(_cos_cols(v, qcol), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id")
+        .limit(k)
+    )
+
+
 def ivf_topk(
     spark,
     emb: DataFrame,
@@ -63,28 +101,8 @@ def ivf_topk(
     id_col="vec_id",
     vec_col="embedding",
 ) -> DataFrame:
-    """IVF: assign every vector to its nearest centroid cell (vectorized
-    pandas UDF over the broadcast codebook), prune to the query's nprobe
-    closest cells, exact cosine within the probed cells."""
-    bc = spark.sparkContext.broadcast(centroids)
-
-    @pandas_udf("int")
-    def _cell(vecs: pd.Series) -> pd.Series:
-        cent = bc.value
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
-
-    cells = emb.withColumn("cell", _cell(F.col(vec_col)))
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    v = F.col(vec_col).cast("array<double>")
-    return (
-        cells.filter(F.col("cell").isin(probe))
-        .select(F.col(id_col).alias("id"), F.round(_cos_cols(v, qcol), 4).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "id")
-        .limit(k)
-    )
+    """IVF: assign cells, prune to the query's nprobe closest cells, exact
+    cosine within the probed cells; candidate set shrinks ~ncells/nprobe."""
+    cells = ivf_assign(spark, emb, centroids, vec_col)
+    probe = probe_cells(centroids, query_vec, nprobe)
+    return ivf_search(cells, query_vec, probe, k, id_col, vec_col)

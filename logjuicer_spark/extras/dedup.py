@@ -15,6 +15,7 @@ Spark-first shapes:
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
@@ -23,6 +24,33 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 _MERSENNE = (1 << 61) - 1
+_LOG = logging.getLogger(__name__)
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Guard against LSH bucket-size quadratics: at extreme scale a single
+    hot bucket (e.g. the all-zeros SimHash of empty docs) turns the bucket
+    self-join into n² within that bucket. With a cap set, buckets larger
+    than max_bucket_size are EXCLUDED from pairing — never silently: the
+    dropped bucket/row counts are logged (one tiny aggregation job, only
+    run when a cap is requested)."""
+    if max_bucket_size is None:
+        return banded
+    oversized = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+    )
+    stats = oversized.agg(
+        F.count(F.lit(1)).alias("nb"), F.coalesce(F.sum("_bsz"), F.lit(0)).alias("nr")
+    ).first()
+    if stats["nb"]:
+        _LOG.warning(
+            "LSH bucket cap %d: excluding %d oversized buckets (%d member rows) "
+            "from pairing — raise the cap or salt the bucket key to cover them",
+            max_bucket_size, stats["nb"], stats["nr"],
+        )
+    return banded.join(F.broadcast(oversized.select(*keys)), on=keys, how="left_anti")
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -75,6 +103,11 @@ def minhash_lsh_pairs(
     """Candidate pairs via banding, verified by signature-estimated Jaccard.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+
+    The band bucket key is the joined band slice itself (exact — no hash
+    collisions, and engine-portable so a SQL oracle can reproduce the
+    banding). The key is ~40 bytes instead of an 8-byte hash; band rows are
+    a transient shuffle, so exactness wins over the few extra bytes.
     """
     n_hashes = len(sigs.select("sig").first()["sig"])
     rows_per_band = n_hashes // bands
@@ -83,8 +116,12 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(
-                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                lambda i: F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "-",
                 ),
             )
         ).alias("band", "bucket"),
@@ -171,8 +208,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pigeonhole banding on 4x16-bit chunks, JVM-side Hamming verify."""
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Pigeonhole banding on 4x16-bit chunks, JVM-side Hamming verify.
+    max_bucket_size guards the per-bucket self-join quadratic (see
+    _cap_buckets)."""
     chunks = sigs.select(
         "id",
         "simhash",
@@ -183,6 +224,7 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             ])
         ).alias("band", "chunk"),
     )
+    chunks = _cap_buckets(chunks, ["band", "chunk"], max_bucket_size)
     l, r = chunks.alias("l"), chunks.alias("r")
     cands = (
         l.join(
@@ -240,16 +282,16 @@ def ngram_jaccard_verify(
 # --------------------------------------------------------------------------
 
 
-def embedding_near_dup(
+def embedding_buckets(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
-    threshold: float = 0.95,
     seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b, cos_sim) for pairs sharing an LSH sign-bucket with
-    cosine >= threshold. Bucket join keeps the candidate set near-linear."""
+    """(id, v, bucket): random-hyperplane sign bucket per embedding (the
+    Arrow-batched half of embedding_near_dup; the verify half is a plain
+    bucket join, so staging this output lets a SQL oracle check it)."""
     dim = len(emb.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
@@ -261,11 +303,18 @@ def embedding_near_dup(
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
 
-    e = emb.select(
+    return emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         _bucket(F.col(vec_col)).alias("bucket"),
     )
+
+
+def embedding_verify(
+    e: DataFrame, threshold: float = 0.95, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Exact-cosine verification of bucket-colliding embedding pairs."""
+    e = _cap_buckets(e, ["bucket"], max_bucket_size)
     l, r = e.alias("l"), e.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
@@ -285,3 +334,18 @@ def embedding_near_dup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) for pairs sharing an LSH sign-bucket with
+    cosine >= threshold. Bucket join keeps the candidate set near-linear."""
+    e = embedding_buckets(emb, id_col, vec_col, n_planes, seed)
+    return embedding_verify(e, threshold, max_bucket_size)

@@ -130,3 +130,20 @@ def fingerprint(
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), _fp(F.col(text_col)).alias("fingerprints"))
+
+
+def fingerprint_pairs(sigs: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Clone-pair join over winnowing fingerprints: (id_a, id_b, shared_count)
+    for doc pairs sharing >= min_shared fingerprints, id_a < id_b.
+
+    Shape: explode -> groupBy(fp) bucket join -> pair aggregation. Only docs
+    colliding on a fingerprint value meet, so candidate volume is bounded by
+    bucket sizes (same scale discipline as the MinHash/SimHash suite)."""
+    ex = sigs.select("id", F.explode("fingerprints").alias("fp")).distinct()
+    l, r = ex.alias("l"), ex.alias("r")
+    return (
+        l.join(r, on=[F.col("l.fp") == F.col("r.fp"), F.col("l.id") < F.col("r.id")])
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_count"))
+        .filter(F.col("shared_count") >= min_shared)
+    )

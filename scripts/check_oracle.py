@@ -26,22 +26,37 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    k = s.dtype.kind
+    return "i" if k in "iu" else k
+
+
 def compare(name, sdf, odf) -> str:
     if len(sdf) != len(odf):
         return f"ROWS {len(sdf)} vs {len(odf)}"
     if sorted(sdf.columns) != sorted(odf.columns):
         return f"SCHEMA {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    # dtype-class mismatch (e.g. DuckDB HUGEINT -> object vs Spark BIGINT)
+    # trips the driver's exact value hash even when values are equal
+    for c in sdf.columns:
+        ka, kb = _kind(sdf[c]), _kind(odf[c])
+        if ka != kb and "O" in (ka, kb) and len(sdf):
+            return f"DTYPE col={c}: {sdf[c].dtype} vs {odf[c].dtype} (cast the oracle)"
     a, b = normalize(sdf), normalize(odf)
+    ulp = False
     for c in a.columns:
         av, bv = a[c], b[c]
         if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+            exact = (av == bv) | (av.isna() & bv.isna())
             ok = ((av - bv).abs() < 1e-6) | (av.isna() & bv.isna())
+            if ok.all() and not exact.all():
+                ulp = True  # passes here, but a hash-gate risk
         else:
             ok = (av.astype(str) == bv.astype(str)) | (av.isna() & bv.isna())
         if not ok.all():
             i = int((~ok).idxmax())
             return f"VALUES col={c} row={i}: {av[i]!r} vs {bv[i]!r}"
-    return "OK"
+    return "OK~ (float ulp diff <1e-6 — exact-hash risk)" if ulp else "OK"
 
 
 def main(sf_dir: str, only: list[str]):
@@ -69,7 +84,7 @@ def main(sf_dir: str, only: list[str]):
         odf = con.execute(oracles[name]).df()
         verdict = compare(name, sdf, odf)
         print(f"{name:24s} {verdict}  ({len(sdf)} rows)")
-        if verdict != "OK":
+        if not verdict.startswith("OK"):
             failures += 1
     spark.stop()
     sys.exit(1 if failures else 0)
