@@ -115,7 +115,10 @@ def _collect_before(bt, last_context_pos, buf_texts, left_overs):
     return before
 
 
-def _process_chunk(state, buf_local, buf_texts, tgt_bpos, tgt_scores, tgt_emit, positions):
+def _process_chunk(
+    state, buf_local, buf_texts, tgt_bpos, tgt_scores, tgt_emit, positions,
+    threshold=THRESHOLD,
+):
     """One do_search_anomalies pass (process.rs:311-436).
 
     buf_local: local line indices of buffered lines (conv-relative)
@@ -123,11 +126,12 @@ def _process_chunk(state, buf_local, buf_texts, tgt_bpos, tgt_scores, tgt_emit, 
     tgt_bpos:  buffer positions of this chunk's targets (unique lines)
     tgt_scores/tgt_emit: distance + global-dedup verdict per target
     positions: line numbers (pos) per buffered line
+    threshold: anomaly cutoff (f32; configurable via PipelineConfig)
     """
     m = len(buf_local)
     last_context_pos = 0
     buffer_pos = 0
-    anomalous = tgt_scores > THRESHOLD
+    anomalous = tgt_scores > threshold
 
     for k in range(len(tgt_bpos)):
         bt = int(tgt_bpos[k])
@@ -195,6 +199,7 @@ def find_anomalies(
     emit_ok=None,
     parse_ts=False,
     gl_date=None,
+    threshold=THRESHOLD,
 ):
     """Run the full per-conversation extraction.
 
@@ -208,6 +213,9 @@ def find_anomalies(
       scores     f32 array -- distance of the line's tokens to the baseline
                  (only read where is_target)
       emit_ok    bool array or None -- global-dedup verdict (None = all ok)
+      threshold  anomaly cutoff, compared in f32 (default process.rs:20's 0.3;
+                 a non-default PipelineConfig.threshold must reach here so the
+                 context walk agrees with enrich's global-dedup gate)
 
     Returns list of anomaly dicts: idx (line offset in the conv), pos,
     distance, line, before[], after[].
@@ -273,6 +281,7 @@ def find_anomalies(
             scores[tloc],
             emit[tloc],
             positions[sel],
+            threshold=np.float32(threshold),
         )
         start = end
 

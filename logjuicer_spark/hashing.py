@@ -267,11 +267,18 @@ class SparseIndex:
                     result[start_t:end_t], np.float32(1.0) - best
                 )
             else:
+                # accumulate in f64 like the dense bincount path (bincount
+                # promotes weights to f64), then cast once: the two paths are
+                # chosen by batch size, so identical lines must score
+                # bit-identically across partitionings (f32 discipline —
+                # cast commutes with max since it's monotone)
                 uniq, inv = np.unique(keys, return_inverse=True)
-                sums = np.zeros(len(uniq), dtype=np.float32)
+                sums = np.zeros(len(uniq), dtype=np.float64)
                 np.add.at(sums, inv, prod)
                 tgt = (uniq // nrows).astype(np.int64) + start_t
-                np.minimum.at(result, tgt, np.float32(1.0) - sums)
+                np.minimum.at(
+                    result, tgt, np.float32(1.0) - sums.astype(np.float32)
+                )
             start_t = end_t
         return result
 

@@ -134,20 +134,29 @@ def merge(model_dfs: list[DataFrame]) -> DataFrame:
             for i, df in enumerate(model_dfs)
         ],
     )
-    w_first = (
-        unioned.groupBy("group_key", "indices", "values")
+    # merged metadata per reference mappend/mconcat (model.rs:118-155):
+    # line/byte counters SUM across the merged per-group indexes, created_at
+    # is the MAX (newest constituent). Counters are constant across one
+    # model's rows of a group, so distinct (group, m_ord) first, then sum.
+    meta = (
+        unioned.select("group_key", "m_ord", "line_count", "byte_count", "created_at")
+        .distinct()
+        .groupBy("group_key")
         .agg(
-            F.min(F.struct("m_ord", "row_id")).alias("w"),
-            F.first("line_count").alias("line_count"),
-            F.first("byte_count").alias("byte_count"),
-            F.min("created_at").alias("created_at"),
+            F.sum("line_count").alias("line_count"),
+            F.sum("byte_count").alias("byte_count"),
+            F.max("created_at").alias("created_at"),
         )
+    )
+    w_first = unioned.groupBy("group_key", "indices", "values").agg(
+        F.min(F.struct("m_ord", "row_id")).alias("w")
     )
     from pyspark.sql import Window
 
     order = Window.partitionBy("group_key").orderBy("w.m_ord", "w.row_id")
     return (
         w_first.withColumn("row_id", (F.row_number().over(order) - 1).cast("int"))
+        .join(F.broadcast(meta), "group_key")
         .withColumn("model_version", F.lit(MODEL_VERSION))
         .select([f.name for f in MODEL.fields])
     )

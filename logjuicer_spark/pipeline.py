@@ -71,9 +71,12 @@ class PipelineConfig:
 # parse
 # --------------------------------------------------------------------------
 
-# literal \n / \r sub-line separators (iterator.rs:253-287) plus real
-# newlines (line boundaries in the file world)
-_SUBLINE_SEP = "(?<!\\\\)\\\\[nr]|\r\n|\n|\r"
+# literal \n sub-line separator (iterator.rs:255-261: Sep::SubLine only for
+# an escaped 'n' — literal \r is NOT a separator there) plus real newlines.
+# Deliberate transcript-world deviation: real \r / \r\n inside a turn's text
+# are treated as line boundaries too (the reference reads files, where a
+# bare \r stays inside the line).
+_SUBLINE_SEP = "(?<!\\\\)\\\\n|\r\n|\n|\r"
 
 
 def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
@@ -309,6 +312,7 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) 
                 sc,
                 sub["emit_ok"].to_numpy(dtype=bool),
                 parse_ts=parse_ts,
+                threshold=np.float32(threshold),
             )
             for a in anomalies:
                 gi = proc[a["idx"]]

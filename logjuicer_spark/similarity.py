@@ -59,7 +59,12 @@ def similarity_report(labeled_anomalies: DataFrame, group_col: str = "tool") -> 
         contrib.groupBy("group", "tokens")
         .agg(
             F.min(F.struct("first_target", "first_conv", "first_turn")).alias("f"),
-            F.first("text").alias("text"),
+            # pin the FIRST occurrence's text deterministically (F.first is
+            # order-dependent across partitionings; min_by honors the
+            # ordering-discipline contract)
+            F.min_by(
+                "text", F.struct("target_id", "conv_id", "turn_idx", "sub_idx")
+            ).alias("text"),
             F.collect_set(F.struct("target_id", "conv_id")).alias("sources"),
         )
         .select(

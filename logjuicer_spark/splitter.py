@@ -2,8 +2,9 @@
 
 Port of BytesLines (/root/reference/crates/iterator/src/iterator.rs:115-346):
 - real '\\n' ends a line (line counter increments)
-- a literal backslash-n / backslash-r two-char sequence ends a SUB-line that
-  keeps the same line number; a preceding escaping backslash suppresses it
+- a literal backslash-n two-char sequence ends a SUB-line that keeps the
+  same line number; a preceding escaping backslash suppresses it
+  (iterator.rs:255-261 — escaped 'r' is NOT a separator)
 - the ansible marker '", "stdout_lines": [' acts as a line break at the
   quote (iterator.rs:332-334)
 - json mode: one piece per scalar — separators , [ ] { } outside strings
@@ -49,8 +50,9 @@ def split_lines(text: str, file_type: str = "text") -> list[tuple[str, int]]:
         c = text[i]
         if escaped:
             escaped = False
-            if c in ("n", "r"):
+            if c == "n":
                 # sub-line: exclude the backslash, keep the line number
+                # (iterator.rs:255-261 — only escaped 'n', not 'r')
                 emit(i - 1, i + 1, new_line=False)
             i += 1
             last_char = c
