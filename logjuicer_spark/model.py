@@ -162,8 +162,38 @@ def merge(model_dfs: list[DataFrame]) -> DataFrame:
     )
 
 
-def collect_indexes(model_df: DataFrame) -> dict[str, SparseIndex]:
-    """Collect the model to the driver as {group_key: SparseIndex}."""
+# driver-collect budget: ~8 bytes/nnz for (indices, values) plus python
+# overhead; 200M nnz ~ a few GiB of driver RAM and a similar broadcast.
+# Override via LOGJUICER_MAX_MODEL_NNZ or the max_nnz parameter.
+MAX_MODEL_NNZ = 200_000_000
+
+
+def collect_indexes(model_df: DataFrame, max_nnz: int | None = None) -> dict[str, SparseIndex]:
+    """Collect the model to the driver as {group_key: SparseIndex}.
+
+    The whole model round-trips through the driver and is then broadcast —
+    the same memory model as the reference (one process's RAM), and right
+    for models that fit. A size guard fails fast with a clear error instead
+    of OOMing the driver mid-collect when a baseline is pathologically
+    large; the documented escape for oversized models is scoring via a
+    shuffle join of winners against the exploded model rows on
+    (group_key, bucket) — per-group partial dot products recombined by
+    (group, dkey) max — at the cost of shuffling the model once per run.
+    """
+    import os
+
+    if max_nnz is None:
+        max_nnz = int(os.environ.get("LOGJUICER_MAX_MODEL_NNZ", MAX_MODEL_NNZ))
+    nnz = model_df.agg(
+        F.coalesce(F.sum(F.size("indices")), F.lit(0)).alias("n")
+    ).first()["n"]
+    if nnz > max_nnz:
+        raise ValueError(
+            f"model has {nnz} nonzeros > budget {max_nnz}: too large to collect "
+            "and broadcast from the driver. Prune/split the baseline, raise "
+            "LOGJUICER_MAX_MODEL_NNZ if the driver has the RAM, or score via "
+            "the distributed join path (see collect_indexes docstring)."
+        )
     pdf = model_df.select("group_key", "row_id", "indices", "values").toPandas()
     out: dict[str, SparseIndex] = {}
     for group, g in pdf.groupby("group_key"):

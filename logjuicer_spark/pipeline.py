@@ -258,14 +258,20 @@ def enrich(
 
     if cfg.skip_duplicate:
         # global dedup dim: first anomalous occurrence of each token-set
-        # across ALL groups (gl_skip_lines, model.rs:606,634; process.rs:359-363)
+        # across ALL groups (gl_skip_lines, model.rs:606,634; process.rs:359-363).
+        # |gl| <= |scored| (filter + groupBy over scored), so the scored-dim
+        # count guard covers it too: under the threshold we broadcast; above
+        # it (an anomaly storm / bad baseline could make gl arbitrarily
+        # large) fall back to a shuffle join instead of OOMing the driver.
         gl = (
             scored.filter(F.col("score") > float(np.float32(cfg.threshold)))
             .groupBy("dkey")
             .agg(F.min("skey").alias("_g_skey"))
             .withColumnRenamed("dkey", "_g_dkey")
         )
-        j = j.join(F.broadcast(gl), j["dkey"] == F.col("_g_dkey"), "left")
+        if n_scored < _BROADCAST_SCORED_ROWS:
+            gl = F.broadcast(gl)
+        j = j.join(gl, j["dkey"] == F.col("_g_dkey"), "left")
         j = j.withColumn(
             "emit_ok",
             F.col("_g_dkey").isNull() | (F.col("_skey") == F.col("_g_skey")),
