@@ -190,6 +190,49 @@ def _process_chunk(
     state.left_overs = list(buf_texts[lo:m])
 
 
+def chunk_flush_points(tgt_mask_buf) -> list[int]:
+    """Chunk flush boundaries over the buffered-line mask (process.rs:283-295).
+
+    Returns the exclusive END index (into the buffered-line sequence) of each
+    flushed chunk, in order: a chunk flushes after its 512th target line, at
+    a duplicate line once the buffer holds > 5120 lines, or at end of stream
+    (that last flush only happens when un-flushed targets remain; a trailing
+    targetless buffer is discarded).
+
+    Key scale property: every non-final chunk is >= CHUNK_SIZE lines long
+    (the earliest flush is the 512th target), and <= FLUSH_GUARD + CHUNK_SIZE
+    lines (past 5120 lines any duplicate flushes, and 512 consecutive
+    targets flush) — chunks are BOUNDED, which is what makes chunk-aligned
+    range splitting exact (see find_anomalies_ranged).
+    """
+    tgt_mask_buf = np.asarray(tgt_mask_buf, dtype=bool)
+    nbuf = len(tgt_mask_buf)
+    if nbuf == 0:
+        return []
+    tgt_cum = np.cumsum(tgt_mask_buf)
+    dup_pos = np.flatnonzero(~tgt_mask_buf)
+    ends: list[int] = []
+    start = 0
+    while start < nbuf:
+        base = tgt_cum[start - 1] if start > 0 else 0
+        k = np.searchsorted(tgt_cum, base + CHUNK_SIZE)
+        d_i = np.searchsorted(dup_pos, start + FLUSH_GUARD)
+        flush_at = None
+        if k < nbuf:
+            flush_at = int(k)
+        if d_i < len(dup_pos):
+            cand = int(dup_pos[d_i])
+            if flush_at is None or cand < flush_at:
+                flush_at = cand
+        if flush_at is None:
+            if tgt_cum[nbuf - 1] - base > 0:
+                ends.append(nbuf)
+            break
+        ends.append(flush_at + 1)
+        start = flush_at + 1
+    return ends
+
+
 def find_anomalies(
     texts,
     positions,
@@ -238,40 +281,133 @@ def find_anomalies(
     state = _ChunkState(parse_ts=parse_ts, gl_date=gl_date)
 
     # --- chunk boundary computation (process.rs:283-295) ---
-    # within the rolling buffer: flush after the 512th target line, or at a
-    # duplicate line when the buffer holds > 5120 lines, or at end of stream
-    # (only if the chunk has targets; a trailing targetless buffer is
-    # discarded except for closing the open anomaly).
     texts_arr = texts if isinstance(texts, list) else list(texts)
-    start = 0  # buffer start (index into buf_all)
-    nbuf = len(buf_all)
-    tgt_cum = np.cumsum(tgt_mask_buf)
-    dup_pos = np.flatnonzero(~tgt_mask_buf)  # buffered positions of duplicates
+    _run_chunks(
+        state, texts_arr, positions, scores, emit, buf_all, tgt_mask_buf, threshold
+    )
 
-    while start < nbuf:
-        base = tgt_cum[start - 1] if start > 0 else 0
-        # position of the 512th target at/after start
-        k = np.searchsorted(tgt_cum, base + CHUNK_SIZE)
-        # first duplicate position making buffer len > FLUSH_GUARD
-        d_i = np.searchsorted(dup_pos, start + FLUSH_GUARD)
-        flush_at = None
-        if k < nbuf:
-            flush_at = int(k)
-        if d_i < len(dup_pos):
-            cand = int(dup_pos[d_i])
-            if flush_at is None or cand < flush_at:
-                flush_at = cand
-        if flush_at is None:
-            # end of stream: flush only if there are targets left
-            if tgt_cum[nbuf - 1] - base > 0:
-                flush_at = nbuf - 1
-            else:
-                break
-        end = flush_at + 1  # buffer = buf_all[start:end]
+    # end of stream: close the open anomaly without more context
+    # (process.rs:302-306)
+    state.close_current()
+    return state.anomalies
+
+
+# replicated-tail length for range splitting: must cover the previous
+# chunk's left_overs window (BETWEEN_CTX_LENGTH=12) + an open anomaly's
+# anchor zone (CTX_LENGTH=3) + the entry-state error margin (<=3 lines the
+# pad simulation cannot know about, which must stay clear of every decision
+# window; see find_anomalies_ranged for the argument)
+PAD_LINES = 20
+
+
+def find_anomalies_ranged(
+    texts,
+    positions,
+    is_ignored,
+    is_target,
+    scores,
+    emit_ok,
+    n_pad,
+    is_last,
+    threshold=THRESHOLD,
+):
+    """Process ONE chunk-aligned range of a conversation, exactly.
+
+    Range splitting relies on three structural facts of the chunk machinery:
+
+    1. every non-final chunk is >= CHUNK_SIZE (512) buffered lines (see
+       chunk_flush_points), so cross-chunk state never propagates further
+       than a bounded window around the boundary;
+    2. the state carried across a chunk flush is only (open anomaly with
+       <= 3 pending after-lines, left_overs = the <=12-line tail), both
+       fully determined by the last ~15 buffered lines of the flushed chunk
+       plus their per-line verdicts — which are position-independent
+       (is_target & score > threshold & emit_ok);
+    3. chunk segmentation restarts fresh at each flush, so a range that
+       starts at a flush boundary recomputes its internal boundaries
+       locally and identically.
+
+    The caller therefore replays the previous range's last PAD_LINES
+    buffered lines (the "pad", rows [0, n_pad) of the input arrays) through
+    one priming _process_chunk call: the entry state the pad itself cannot
+    know about only influences its first <=3 lines, while every decision
+    that survives into the body (left_overs window start at pad_len-12 >= 8,
+    kept-anchor context windows >= pad_len-15 = 5) reads strictly later pad
+    positions, so the primed state equals the true carried state.
+
+    Emission protocol (ranges must not double-emit across the boundary):
+    - anomalies fully inside the pad are dropped here (the previous range
+      emitted them);
+    - an anomaly still OPEN at pad end (anchor in the pad's last <=3
+      buffered lines) is emitted HERE once its after-context completes —
+      the previous range suppressed it (returned as suppressed_open_idx
+      there, carried_pad_idx here);
+    - symmetrically, an anomaly still open at the end of a NON-final range
+      is suppressed and reported via suppressed_open_idx so the caller can
+      also withhold that line's routed row (the next range emits it).
+
+    Returns (anomalies, carried_pad_idx, suppressed_open_idx); anomaly
+    ``idx`` values are offsets into the passed arrays (pad included).
+    W3 parse-mode timestamps are not supported here: LastTS state crosses
+    chunk boundaries unbounded (32-line scans), so the caller must split
+    only conversations with native timestamps.
+    """
+    n = len(texts)
+    is_ignored = np.asarray(is_ignored, dtype=bool)
+    is_target = np.asarray(is_target, dtype=bool) & ~is_ignored
+    scores = np.asarray(scores, dtype=np.float32)
+    if emit_ok is None:
+        emit = np.ones(n, dtype=bool)
+    else:
+        emit = np.asarray(emit_ok, dtype=bool)
+    positions = np.asarray(positions)
+    texts_arr = texts if isinstance(texts, list) else list(texts)
+
+    state = _ChunkState()
+    carried_pad_idx = None
+    n_pad_anoms = 0
+    if n_pad:
+        pad_buf = np.flatnonzero(~is_ignored[:n_pad])
+        if len(pad_buf):
+            tpos = np.flatnonzero(is_target[pad_buf])
+            tloc = pad_buf[tpos]
+            _process_chunk(
+                state,
+                pad_buf,
+                [texts_arr[i] for i in pad_buf],
+                tpos,
+                scores[tloc],
+                emit[tloc],
+                positions[pad_buf],
+                threshold=np.float32(threshold),
+            )
+        n_pad_anoms = len(state.anomalies)
+        if state.current is not None:
+            carried_pad_idx = int(state.current["idx"])
+
+    body_buf = n_pad + np.flatnonzero(~is_ignored[n_pad:])
+    _run_chunks(
+        state, texts_arr, positions, scores, emit,
+        body_buf, is_target[body_buf], threshold,
+    )
+
+    suppressed_open_idx = None
+    if is_last:
+        state.close_current()
+    elif state.current is not None:
+        suppressed_open_idx = int(state.current["idx"])
+        state.current = None
+    return state.anomalies[n_pad_anoms:], carried_pad_idx, suppressed_open_idx
+
+
+def _run_chunks(state, texts_arr, positions, scores, emit, buf_all, tgt_mask_buf, threshold):
+    """Feed every flushed chunk of the buffered-line sequence through
+    _process_chunk, carrying state across chunks."""
+    start = 0
+    for end in chunk_flush_points(tgt_mask_buf):
         sel = buf_all[start:end]
         buf_texts = [texts_arr[i] for i in sel]
-        tmask = tgt_mask_buf[start:end]
-        tpos = np.flatnonzero(tmask)
+        tpos = np.flatnonzero(tgt_mask_buf[start:end])
         tloc = sel[tpos]
         _process_chunk(
             state,
@@ -284,8 +420,3 @@ def find_anomalies(
             threshold=np.float32(threshold),
         )
         start = end
-
-    # end of stream: close the open anomaly without more context
-    # (process.rs:302-306)
-    state.close_current()
-    return state.anomalies

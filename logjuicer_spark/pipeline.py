@@ -24,12 +24,15 @@ Scale notes (the 100 TB design point):
 - if the input table is bucketed/sorted by conv_id (Iceberg bucket
   transform), the route shuffle disappears via storage-partitioned join
 - extremely long conversations are the residual skew for the route stage
-  (one conversation = one task there). Measured: a 1M-turn conversation
-  routes in-task without stalling the stage (BENCH.md); conversation-level
-  bucketing with checkpoints lives in lineage.run_routed_with_resume.
-  Intra-conversation range-splitting with 12-line overlap pads (the
-  reference's left_overs as boundary padding) is the escape hatch if a
-  single conversation ever exceeds a task's memory
+  (one conversation = one task by default). Measured: a 1M-turn
+  conversation routes in-task without stalling the stage (BENCH.md);
+  conversation-level bucketing with checkpoints lives in
+  lineage.run_routed_with_resume. Conversations above cfg.max_task_lines
+  are split into chunk-aligned ranges with a PAD_LINES-line replicated
+  tail per range (the reference's left_overs generalized to boundary
+  padding) and processed by independent tasks — exact by construction
+  (context.find_anomalies_ranged) and golden/fuzz-tested against the
+  single-task path (tests/test_route_split.py)
 """
 
 from __future__ import annotations
@@ -65,6 +68,11 @@ class PipelineConfig:
     # S2/S3: 'text' uses the JVM regex sub-line split; 'json'/'xml' run the
     # exact reader automaton (splitter.py) as a pandas UDF
     file_type: str = "text"
+    # route-stage skew escape hatch: conversations with more than this many
+    # parsed lines are split into chunk-aligned ranges processed by
+    # independent tasks (exact — golden/fuzz-tested against the single-task
+    # path). None disables splitting.
+    max_task_lines: int | None = 4_000_000
 
 
 # --------------------------------------------------------------------------
@@ -343,8 +351,9 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) 
     return out
 
 
-def route(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
-    """Per-conversation context assembly + fan-out labels."""
+def _route_single(enriched: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """One conversation per task (the common case: conversations are far
+    smaller than cfg.max_task_lines)."""
     threshold = cfg.threshold
     parse_ts = cfg.parse_timestamps
 
@@ -356,6 +365,196 @@ def route(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFr
         .groupBy("conv_id")
         .applyInPandas(fn, schema=ROUTED)
     )
+
+
+def route(
+    enriched: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+    conv_sizes: DataFrame | None = None,
+    allow_split: bool = True,
+) -> DataFrame:
+    """Per-conversation context assembly + fan-out labels.
+
+    Monster-conversation skew guard: with cfg.max_task_lines set,
+    conversations larger than the limit are processed by route_split
+    (chunk-aligned ranges, one task per range) instead of one giant task.
+    conv_sizes lets the caller supply precomputed (conv_id, n) counts (e.g.
+    from the parsed checkpoint, a column-pruned parquet scan) so the probe
+    does not re-evaluate the enrich plan; allow_split=False skips the probe
+    entirely (used for inputs already known to be small)."""
+    if not allow_split or cfg.max_task_lines is None:
+        return _route_single(enriched, cfg)
+    if conv_sizes is None:
+        conv_sizes = enriched.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    big_ids = [
+        r[0]
+        for r in conv_sizes.filter(F.col("n") > cfg.max_task_lines)
+        .select("conv_id")
+        .collect()
+    ]
+    if not big_ids:
+        return _route_single(enriched, cfg)
+    small = enriched.filter(~F.col("conv_id").isin(big_ids))
+    big = enriched.filter(F.col("conv_id").isin(big_ids))
+    return _route_single(small, cfg).unionByName(route_split(big, cfg))
+
+
+# ------------------------- intra-conversation range splitting -------------
+#
+# The escape hatch for conversations too large for one task's memory: split
+# into ranges aligned to the chunk machinery's own flush boundaries, ship
+# each range (plus the previous range's PAD_LINES-line tail as a read-only
+# pad) to an independent task, and reproduce the carried chunk state from
+# the pad (exactness argument: context.find_anomalies_ranged docstring).
+
+_RANGES_SCHEMA = (
+    "conv_id string, range_id int, lo string, hi string, pad_lo string, "
+    "is_last boolean"
+)
+
+
+def _plan_ranges(pdf: pd.DataFrame, max_task_lines: int) -> pd.DataFrame:
+    """Per-conversation range plan over LIGHT columns only (skey + two
+    bools — no text): chunk flush boundaries, then whole chunks greedily
+    grouped into <= max_task_lines ranges. Emits skey intervals; the last
+    range's hi is NULL (it also absorbs trailing targetless lines)."""
+    from .context import PAD_LINES, chunk_flush_points
+
+    pdf = pdf.sort_values("skey", kind="stable").reset_index(drop=True)
+    conv = pdf["conv_id"].iloc[0]
+    cols = ["conv_id", "range_id", "lo", "hi", "pad_lo", "is_last"]
+    skeys = pdf["skey"].to_numpy()
+    buf_idx = np.flatnonzero(pdf["is_buffered"].to_numpy(dtype=bool))
+    if len(buf_idx) == 0:
+        return pd.DataFrame(
+            [(conv, 0, "", None, None, True)], columns=cols
+        )
+    tmask = pdf["is_target"].to_numpy(dtype=bool)[buf_idx]
+    ends = chunk_flush_points(tmask)
+    bounds = [0]
+    prev = 0
+    for e in ends:
+        if e - bounds[-1] > max_task_lines and prev > bounds[-1]:
+            bounds.append(prev)
+        prev = e
+    rows = []
+    for k, sb in enumerate(bounds):
+        last = k == len(bounds) - 1
+        rows.append(
+            (
+                conv,
+                k,
+                "" if k == 0 else skeys[buf_idx[sb]],
+                None if last else skeys[buf_idx[bounds[k + 1]]],
+                None if k == 0 else skeys[buf_idx[max(sb - PAD_LINES, 0)]],
+                last,
+            )
+        )
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _assemble_range(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Ranged variant of _assemble_conv: pad rows prime the chunk state and
+    are withheld from output (except a carried-open anchor, whose routed
+    anomaly row this range owns); a still-open anchor at a non-final range
+    end is withheld symmetrically (the next range emits it)."""
+    from .context import find_anomalies_ranged
+
+    pdf = pdf.sort_values(["turn_idx", "sub_idx"], kind="stable").reset_index(drop=True)
+    is_pad = pdf["is_pad"].to_numpy(dtype=bool)
+    is_last = bool(pdf["is_last"].iloc[0])
+    n = len(pdf)
+    route_lbl = np.full(n, "normal", dtype=object)
+    known = pdf["is_known"].to_numpy(dtype=bool)
+    route_lbl[~known] = "unknown"
+    before = [None] * n
+    after = [None] * n
+    scores_out = pdf["score"].to_numpy(dtype="float32", na_value=np.nan).copy()
+    scores_out[~(pdf["is_target"].to_numpy(dtype=bool))] = np.nan
+    keep_row = ~is_pad
+
+    proc = np.flatnonzero(known)
+    if len(proc):
+        sub = pdf.iloc[proc]
+        sc = sub["score"].to_numpy(dtype="float32", na_value=np.nan)
+        sc = np.where(np.isnan(sc), np.float32(0.0), sc).astype(np.float32)
+        anomalies, carried, suppressed = find_anomalies_ranged(
+            sub["text"].tolist(),
+            sub["turn_idx"].to_numpy(),
+            sub["is_ignored"].to_numpy(dtype=bool),
+            sub["is_target"].to_numpy(dtype=bool),
+            sc,
+            sub["emit_ok"].to_numpy(dtype=bool),
+            n_pad=int(is_pad[proc].sum()),
+            is_last=is_last,
+            threshold=np.float32(threshold),
+        )
+        for a in anomalies:
+            gi = proc[a["idx"]]
+            route_lbl[gi] = "anomaly"
+            before[gi] = a["before"]
+            after[gi] = a["after"]
+            if carried is not None and a["idx"] == carried:
+                keep_row[gi] = True
+        if suppressed is not None:
+            keep_row[proc[suppressed]] = False
+
+    out = pdf[["conv_id", "turn_idx", "sub_idx", "role", "tool", "ts", "text"]].copy()
+    out["route"] = route_lbl
+    out["score"] = scores_out
+    out["before"] = before
+    out["after"] = after
+    return out.loc[keep_row]
+
+
+def route_split(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Exact route output for oversized conversations via chunk-aligned
+    range tasks. Plan shape: a LIGHT per-conversation pass (skey + bools,
+    ~20 bytes/line instead of full text rows) computes the range intervals;
+    a broadcast range-dim join tags every line (and replicates the 20-line
+    pads); the context walk then runs per (conv, range) task."""
+    if cfg.parse_timestamps:
+        raise NotImplementedError(
+            "range splitting requires native timestamps: W3 parse-mode "
+            "LastTS state crosses chunk boundaries unbounded"
+        )
+    max_lines = cfg.max_task_lines
+    threshold = cfg.threshold
+    light = enriched.select(
+        "conv_id",
+        _skey().alias("skey"),
+        (F.col("is_known") & ~F.col("is_ignored")).alias("is_buffered"),
+        "is_target",
+    )
+
+    def plan(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _plan_ranges(pdf, max_lines)
+
+    ranges = light.groupBy("conv_id").applyInPandas(plan, _RANGES_SCHEMA)
+    body = ranges.select(
+        F.col("conv_id").alias("_r_conv"), "range_id", "lo", "hi", "is_last",
+        F.lit(False).alias("is_pad"),
+    )
+    pad = ranges.filter(F.col("pad_lo").isNotNull()).select(
+        F.col("conv_id").alias("_r_conv"), "range_id",
+        F.col("pad_lo").alias("lo"), F.col("lo").alias("hi"), "is_last",
+        F.lit(True).alias("is_pad"),
+    )
+    dim = body.unionByName(pad)
+    lines = enriched.select(*_ROUTE_COLS).withColumn("skey", _skey())
+    j = lines.join(
+        F.broadcast(dim),
+        on=[
+            lines["conv_id"] == F.col("_r_conv"),
+            F.col("skey") >= F.col("lo"),
+            F.col("hi").isNull() | (F.col("skey") < F.col("hi")),
+        ],
+    ).drop("_r_conv", "lo", "hi", "skey")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _assemble_range(pdf, threshold)
+
+    return j.groupBy("conv_id", "range_id").applyInPandas(fn, schema=ROUTED)
 
 
 # --------------------------------------------------------------------------
@@ -463,7 +662,10 @@ def run(
             model_df = train_model(spark, baseline_turns, cfg)
         bc = model_mod.broadcast_indexes(spark, model_mod.collect_indexes(model_df))
         enriched = enrich(parse(target_turns, cfg), bc, cfg, count_scored=False)
-        route(enriched, cfg).write.mode("overwrite").parquet(f"{work_dir}/routed")
+        # small input => no conversation can exceed max_task_lines
+        route(enriched, cfg, allow_split=False).write.mode("overwrite").parquet(
+            f"{work_dir}/routed"
+        )
         release_stage_caches()
         routed = spark.read.parquet(f"{work_dir}/routed")
         out = {"routed": routed, "model": model_df, "work_dir": work_dir}
@@ -491,7 +693,16 @@ def run(
 
     parsed = spark.read.parquet(f"{work_dir}/parsed")
     enriched = enrich(parsed, bc, cfg)
-    route(enriched, cfg).write.mode("overwrite").parquet(f"{work_dir}/routed")
+    # conversation sizes from the checkpoint (column-pruned parquet scan),
+    # so the monster-conv probe never re-evaluates the enrich plan
+    conv_sizes = (
+        parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        if cfg.max_task_lines is not None
+        else None
+    )
+    route(enriched, cfg, conv_sizes=conv_sizes).write.mode("overwrite").parquet(
+        f"{work_dir}/routed"
+    )
     release_stage_caches()
     routed = spark.read.parquet(f"{work_dir}/routed")
 

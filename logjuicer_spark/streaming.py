@@ -39,7 +39,8 @@ def score_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         parsed = parse(batch_df, cfg)
-        routed = route(enrich(parsed, bc, cfg), cfg)
+        # micro-batches are bounded by the trigger; skip the size probe
+        routed = route(enrich(parsed, bc, cfg), cfg, allow_split=False)
         (
             routed.withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("append")
