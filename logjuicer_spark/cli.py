@@ -26,11 +26,23 @@ import time
 
 
 def _cfg(args) -> "PipelineConfig":
+    """Resolve the effective PipelineConfig: --config file (per-job matcher
+    selection via --job-name, config.rs:108-133 / env.rs:107-121) first,
+    then explicit CLI flags layered on top."""
     from .pipeline import PipelineConfig
 
+    base = PipelineConfig()
+    if getattr(args, "config", None):
+        from .targetconfig import Config
+
+        tc = Config.from_path(args.config).get_target_config(
+            getattr(args, "job_name", None)
+        )
+        base = tc.to_pipeline_config()
+    extra = tuple(args.ignore_pattern or ())
     return PipelineConfig(
-        ignore_patterns=tuple(args.ignore_pattern or ()),
-        skip_duplicate=not args.keep_duplicate,
+        ignore_patterns=tuple(base.ignore_patterns) + extra,
+        skip_duplicate=base.skip_duplicate and not args.keep_duplicate,
     )
 
 
@@ -77,6 +89,11 @@ def main(argv=None):
     p.add_argument("--ignore-pattern", action="append")
     p.add_argument("--keep-duplicate", action="store_true",
                    help="disable token-set dedup (LOGJUICER_KEEP_DUPLICATE)")
+    p.add_argument("--config", default=None,
+                   help="YAML/JSON target config file (static mapping or "
+                        "match_job matcher list, config.rs:31-37)")
+    p.add_argument("--job-name", default=None,
+                   help="job name used to select a matcher from --config")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("diff")

@@ -744,3 +744,40 @@ def from_log_table(
         index_name_udf()(F.col(source_col)).alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
+
+
+def from_archive_manifest(
+    manifest_df: DataFrame,
+    archive_col: str = "archive",
+    entry_col: str = "entry",
+    line_col: str = "line_nr",
+    text_col: str = "text",
+    fileset=None,
+) -> DataFrame:
+    """S7 analog: an exploded archive manifest table
+    (archive, entry, line_nr, text) -> TURNS.
+
+    Mirrors the reference's tarball traversal semantics
+    (source.rs:95-161 with_tarball_source): each file entry is its own
+    source named ``archive?entry=path`` (the Source::TarFile url shape),
+    the F1 fileset include/exclude predicate applies to the ENTRY path
+    (is_fp_valid on the in-archive relative path), and the baseline
+    IndexName derives from the entry path so equivalent entries across
+    archives share one index. Actual tar extraction happens upstream (a
+    distributed text engine consumes the exploded manifest, not opaque
+    tar bytes)."""
+    from .indexname import index_name_udf
+
+    df = manifest_df
+    if fileset is not None:
+        df = fileset.filter_sources(df, entry_col)
+    return df.select(
+        F.concat(F.col(archive_col), F.lit("?entry="), F.col(entry_col)).alias(
+            "conv_id"
+        ),
+        F.col(line_col).cast("int").alias("turn_idx"),
+        F.lit("log").alias("role"),
+        F.col(text_col).alias("text"),
+        index_name_udf()(F.col(entry_col)).alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )

@@ -140,3 +140,32 @@ def test_multimodal_features(spark):
         assert all(r.feature is None for r in bad)
     finally:
         multimodal.DECODERS["video"] = multimodal._fake_decode
+
+
+def test_lsh_bucket_cap(spark, caplog):
+    # 40 identical docs -> one hot SimHash bucket; the cap must exclude it
+    # (logged, never silent) instead of expanding a 40^2/2 self-join
+    rows = [(i, "identical words repeated here") for i in range(40)]
+    rows += [(100, "first unique alpha"), (101, "second unique bravo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.simhash_signatures(docs)
+    uncapped = dedup.simhash_near_pairs(sigs).count()
+    assert uncapped >= 40 * 39 // 2
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="logjuicer_spark.extras.dedup"):
+        capped = dedup.simhash_near_pairs(sigs, max_bucket_size=10)
+        got = capped.collect()
+    hot_ids = set(range(40))
+    assert not any(r.id_a in hot_ids and r.id_b in hot_ids for r in got)
+    assert any("bucket cap" in rec.getMessage() for rec in caplog.records)
+
+    # embedding path: same guard on the sign-bucket join
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+        + [(50, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    e = dedup.embedding_buckets(emb, n_planes=4)
+    assert dedup.embedding_verify(e, threshold=0.9).count() >= 30 * 29 // 2
+    assert dedup.embedding_verify(e, threshold=0.9, max_bucket_size=5).count() == 0
