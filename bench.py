@@ -42,9 +42,13 @@ def main():
 
     # warm the JVM + the python UDF workers (imports numpy/pandas + our
     # modules once per worker) so timings measure steady-state throughput,
-    # not cluster cold-start
+    # not cluster cold-start. The sf0.001 flagship pass exercises every
+    # stage shape once (tokenize/score/context UDFs, broadcasts, parquet
+    # sink) — JIT and worker spin-up otherwise dominate the first measured
+    # run by ~2x
     spark.range(1000).count()
     eq.q_tokenize(spark, sf_dir).count()
+    eq.q_pipeline_anomalies(spark, "/root/testdata/sf0.001").count()
 
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 

@@ -184,17 +184,23 @@ def collect_indexes(model_df: DataFrame, max_nnz: int | None = None) -> dict[str
 
     if max_nnz is None:
         max_nnz = int(os.environ.get("LOGJUICER_MAX_MODEL_NNZ", MAX_MODEL_NNZ))
-    nnz = model_df.agg(
-        F.coalesce(F.sum(F.size("indices")), F.lit(0)).alias("n")
-    ).first()["n"]
-    if nnz > max_nnz:
-        raise ValueError(
-            f"model has {nnz} nonzeros > budget {max_nnz}: too large to collect "
-            "and broadcast from the driver. Prune/split the baseline, raise "
-            "LOGJUICER_MAX_MODEL_NNZ if the driver has the RAM, or score via "
-            "the distributed join path (see collect_indexes docstring)."
-        )
-    pdf = model_df.select("group_key", "row_id", "indices", "values").toPandas()
+    # persist so the guard aggregation and the collect evaluate the train
+    # DAG (tokenize UDF + per-group build) exactly once
+    cached = model_df.select("group_key", "row_id", "indices", "values").persist()
+    try:
+        nnz = cached.agg(
+            F.coalesce(F.sum(F.size("indices")), F.lit(0)).alias("n")
+        ).first()["n"]
+        if nnz > max_nnz:
+            raise ValueError(
+                f"model has {nnz} nonzeros > budget {max_nnz}: too large to collect "
+                "and broadcast from the driver. Prune/split the baseline, raise "
+                "LOGJUICER_MAX_MODEL_NNZ if the driver has the RAM, or score via "
+                "the distributed join path (see collect_indexes docstring)."
+            )
+        pdf = cached.toPandas()
+    finally:
+        cached.unpersist()
     out: dict[str, SparseIndex] = {}
     for group, g in pdf.groupby("group_key"):
         out[group] = SparseIndex.from_rows(

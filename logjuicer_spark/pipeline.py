@@ -300,6 +300,27 @@ _ROUTE_COLS = [
 
 
 def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) -> pd.DataFrame:
+    # fast path: conversations with no anomalous target line (the vast
+    # majority) have a row-wise independent output — no sort, no context
+    # walk, no frame copies. ~8x cheaper per group, which dominates the
+    # route stage's wall time at driver scale.
+    known_all = pdf["is_known"].to_numpy(dtype=bool)
+    tgt_all = pdf["is_target"].to_numpy(dtype=bool) & known_all
+    sc_all = pdf["score"].to_numpy(dtype="float32", na_value=np.nan)
+    sc_zeroed = np.where(np.isnan(sc_all), np.float32(0.0), sc_all).astype(np.float32)
+    if not (sc_zeroed[tgt_all] > np.float32(threshold)).any():
+        n = len(pdf)
+        out = pd.DataFrame(
+            {c: pdf[c] for c in ("conv_id", "turn_idx", "sub_idx", "role", "tool", "ts", "text")}
+        )
+        if parse_ts:
+            out["ts"] = pd.NaT
+        out["route"] = np.where(known_all, "normal", "unknown")
+        out["score"] = np.where(tgt_all, sc_all, np.nan).astype("float32")
+        out["before"] = [None] * n
+        out["after"] = [None] * n
+        return out
+
     pdf = pdf.sort_values(["turn_idx", "sub_idx"], kind="stable").reset_index(drop=True)
     n = len(pdf)
     route = np.full(n, "normal", dtype=object)
@@ -656,17 +677,29 @@ def run(
         small = False
 
     if small:
+        # persist the parsed stages in memory instead of parquet
+        # checkpoints: at this size the executor cache beats a write+rescan,
+        # and both parse outputs feed multiple plan branches (baseline:
+        # counters + winners; target: winners, join probe, route input) —
+        # without it the tokenize UDF re-runs per branch
+        caches = []
         if model_df is None:
             if baseline_turns is None:
                 raise ValueError("need baseline_turns or model_df")
-            model_df = train_model(spark, baseline_turns, cfg)
+            parsed_b = parse(baseline_turns, cfg).persist()
+            caches.append(parsed_b)
+            model_df = model_mod.train(parsed_b, group_col=cfg.group_col)
         bc = model_mod.broadcast_indexes(spark, model_mod.collect_indexes(model_df))
-        enriched = enrich(parse(target_turns, cfg), bc, cfg, count_scored=False)
+        parsed_t = parse(target_turns, cfg).persist()
+        caches.append(parsed_t)
+        enriched = enrich(parsed_t, bc, cfg, count_scored=False)
         # small input => no conversation can exceed max_task_lines
         route(enriched, cfg, allow_split=False).write.mode("overwrite").parquet(
             f"{work_dir}/routed"
         )
         release_stage_caches()
+        for c in caches:
+            c.unpersist()
         routed = spark.read.parquet(f"{work_dir}/routed")
         out = {"routed": routed, "model": model_df, "work_dir": work_dir}
         out["anomalies"] = routed.filter(F.col("route") == "anomaly")

@@ -29,6 +29,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces by BYTES, but this engine's post-shuffle stages are
+        # Python-CPU-bound (pandas-UDF context/model builds): a few MB of
+        # compressed shuffle text can carry seconds of per-group CPU, and
+        # the default 1MB floor collapsed the route exchange to ONE
+        # partition (measured 5x slowdown). A 16k floor keeps parallelism
+        # on small exchanges; large shuffles still coalesce toward
+        # total/defaultParallelism (parallelismFirst), so cluster-scale
+        # behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         # Spark timestamps are session-TZ; DuckDB's are UTC-naive — pin UTC
         # so oracle comparisons and parquet round-trips agree
         .config("spark.sql.session.timeZone", "UTC")
