@@ -217,10 +217,25 @@ def enrich(
     bc_indexes,
     cfg: PipelineConfig = PipelineConfig(),
     count_scored: bool = True,
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Attach is_known / is_target / score / emit_ok to every parsed row."""
+    """Attach is_known / is_target / score / emit_ok to every parsed row.
+
+    Scoring path: with bc_indexes (the collected {group: SparseIndex}
+    broadcast), the Arrow-batched numpy kernel runs per executor — right
+    whenever the model fits one process's RAM. With bc_indexes=None and
+    model_df set, scoring runs as the distributed join formulation
+    (score.score_winners_distributed) — the escape hatch when the model
+    exceeds the driver-collect budget (run() falls back automatically)."""
     group = cfg.group_col
-    known_keys = list(bc_indexes.value.keys())
+    if bc_indexes is not None:
+        known_keys = list(bc_indexes.value.keys())
+    else:
+        if model_df is None:
+            raise ValueError("enrich needs bc_indexes or model_df")
+        known_keys = [
+            r[0] for r in model_df.select("group_key").distinct().collect()
+        ]
     single_index = len(known_keys) == 1  # lookup_or_single, model.rs:857-869
 
     if single_index:
@@ -237,7 +252,12 @@ def enrich(
             F.min_by("tokens", "_skey").alias("tokens"),
         )
     )
-    scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
+    if bc_indexes is not None:
+        scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
+    else:
+        from .score import score_winners_distributed
+
+        scored = score_winners_distributed(winners, model_df, single_index)
     scored = scored.persist()
     _SCORED_REFS.append(scored)
     # with count_scored=False (small inputs) we broadcast unconditionally
@@ -637,6 +657,23 @@ def train_model(
     return model_mod.train(parse(baseline_turns, cfg), group_col=cfg.group_col)
 
 
+def _broadcast_or_none(spark, model_df):
+    """Collect + broadcast the model, or fall back to distributed scoring
+    (enrich model_df path) when it exceeds the driver-collect nnz budget."""
+    import logging
+
+    try:
+        return model_mod.broadcast_indexes(
+            spark, model_mod.collect_indexes(model_df)
+        )
+    except ValueError as e:
+        logging.getLogger(__name__).warning(
+            "model exceeds the driver-collect budget; scoring via the "
+            "distributed join path instead (%s)", e
+        )
+        return None
+
+
 def run(
     spark: SparkSession,
     target_turns: DataFrame,
@@ -689,10 +726,10 @@ def run(
             parsed_b = parse(baseline_turns, cfg).persist()
             caches.append(parsed_b)
             model_df = model_mod.train(parsed_b, group_col=cfg.group_col)
-        bc = model_mod.broadcast_indexes(spark, model_mod.collect_indexes(model_df))
+        bc = _broadcast_or_none(spark, model_df)
         parsed_t = parse(target_turns, cfg).persist()
         caches.append(parsed_t)
-        enriched = enrich(parsed_t, bc, cfg, count_scored=False)
+        enriched = enrich(parsed_t, bc, cfg, count_scored=False, model_df=model_df)
         # small input => no conversation can exceed max_task_lines
         route(enriched, cfg, allow_split=False).write.mode("overwrite").parquet(
             f"{work_dir}/routed"
@@ -720,12 +757,11 @@ def run(
             if baseline_turns is None:
                 raise ValueError("need baseline_turns or model_df")
             model_df = train_model(spark, baseline_turns, cfg)
-        indexes = model_mod.collect_indexes(model_df)
+        bc = _broadcast_or_none(spark, model_df)
         parse_fut.result()
-    bc = model_mod.broadcast_indexes(spark, indexes)
 
     parsed = spark.read.parquet(f"{work_dir}/parsed")
-    enriched = enrich(parsed, bc, cfg)
+    enriched = enrich(parsed, bc, cfg, model_df=model_df)
     # conversation sizes from the checkpoint (column-pruned parquet scan),
     # so the monster-conv probe never re-evaluates the enrich plan
     conv_sizes = (

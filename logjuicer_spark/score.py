@@ -44,3 +44,95 @@ def make_score_fn(bc_indexes):
             yield out
 
     return score_batches
+
+
+# ---------------------------------------------------------------------------
+# distributed scoring (the escape hatch for models too large to collect and
+# broadcast from the driver)
+# ---------------------------------------------------------------------------
+
+_VECTOR_SCHEMA = "tool string, dkey string, skey string, bucket int, tval float"
+
+
+def _vectorize_winners_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Explode each winner line into its L2-normalized sparse-vector entries
+    (bucket, value) — the same _vectorize_batch the broadcast kernel uses,
+    so feature hashing, duplicate-bucket dropping and normalization are
+    bit-identical across the two scoring paths."""
+    from .hashing import _vectorize_batch
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows, cols, vals = _vectorize_batch(pdf["tokens"].tolist())
+        yield pd.DataFrame(
+            {
+                "tool": pdf["tool"].to_numpy()[rows],
+                "dkey": pdf["dkey"].to_numpy()[rows],
+                "skey": pdf["skey"].to_numpy()[rows],
+                "bucket": cols.astype(np.int32),
+                "tval": vals,
+            }
+        )
+
+
+def score_winners_distributed(winners, model_df, single_index: bool):
+    """Score winner lines against the model WITHOUT collecting it: the
+    sparse matmul as relational algebra.
+
+    Shape (the 10^12-line design point where the model itself is huge):
+    explode model rows to (group, bucket, row_id, mval) and winner lines to
+    (group, bucket, tval) — the Arrow-batched UDF above is the only Python —
+    then join on (group, bucket), partial-sum the products per
+    (group, dkey, row_id) (map-side combine), take the per-line max dot and
+    emit distance = min(1, 1 - max). Rows with no bucket overlap keep
+    distance 1.0 via the final left join (index.rs:68-102 semantics).
+
+    Skew note: hot buckets (tokens present in a large share of baseline
+    rows) concentrate the join; AQE skew-join splits them, and the
+    per-(dkey,row_id) aggregation bounds any single task's output. Same
+    asymptotic work as the broadcast kernel, paid as one shuffle instead of
+    a driver collect + N-executor broadcast.
+
+    Reference: cosine_distance_chunk (index.rs:85-102), lookup_or_single
+    (model.rs:857-869) — with single_index=True the one index matches every
+    group, so the join drops the group-key equality.
+    """
+    from pyspark.sql import functions as F
+
+    t = winners.mapInPandas(_vectorize_winners_fn, _VECTOR_SCHEMA)
+    m = model_df.select(
+        F.col("group_key"),
+        F.col("row_id"),
+        F.explode(F.arrays_zip("indices", "values")).alias("z"),
+    ).select(
+        "group_key",
+        "row_id",
+        F.col("z.indices").alias("bucket"),
+        F.col("z.values").alias("mval"),
+    )
+    if single_index:
+        cond = [t["bucket"] == m["bucket"]]
+    else:
+        cond = [t["tool"] == m["group_key"], t["bucket"] == m["bucket"]]
+    dots = (
+        t.join(m, cond)
+        .groupBy("tool", "dkey", "row_id")
+        .agg(F.sum(F.col("tval") * F.col("mval")).alias("dot"))
+        .groupBy("tool", "dkey")
+        .agg(F.max("dot").alias("best"))
+    )
+    return (
+        winners.select("tool", "dkey", "skey")
+        .join(dots, ["tool", "dkey"], "left")
+        .select(
+            "tool",
+            "dkey",
+            "skey",
+            F.least(
+                F.lit(1.0), F.lit(1.0) - F.coalesce(F.col("best"), F.lit(0.0))
+            )
+            .cast("float")
+            .alias("score"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Distributed scoring join (the oversized-model escape hatch) must agree
+with the broadcast numpy kernel."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logjuicer_spark import gen, model as M, pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dist"))
+    b, t, exp = gen.generate_corpus(
+        n_baseline_convs=3, n_target_convs=4, turns_per_conv=30, seed=11
+    )
+    gen.to_spark_df(spark, b).write.mode("overwrite").parquet(f"{d}/baseline")
+    gen.to_spark_df(spark, t).write.mode("overwrite").parquet(f"{d}/target")
+    return d, sorted((c, i) for c, i, _ in exp)
+
+
+def _snap(out):
+    return sorted(
+        (r.conv_id, r.turn_idx, round(float(r.score), 5))
+        for r in out["anomalies"].collect()
+    )
+
+
+def test_run_falls_back_to_distributed_scoring(spark, corpus, monkeypatch):
+    d, expected = corpus
+    b = spark.read.parquet(f"{d}/baseline")
+    t = spark.read.parquet(f"{d}/target")
+    want = _snap(pipeline.run(spark, t, baseline_turns=b))
+    assert [(c, i) for c, i, _ in want] == expected
+    # force the driver-collect budget to zero: run() must fall back to the
+    # join formulation and produce the same anomalies and scores
+    monkeypatch.setenv("LOGJUICER_MAX_MODEL_NNZ", "0")
+    got = _snap(pipeline.run(spark, t, baseline_turns=b))
+    assert got == want
+
+
+def test_scored_outputs_bit_close(spark, corpus):
+    """Compare the scored dims directly: every (tool, dkey) distance within
+    f32 tolerance between the two formulations, including no-overlap rows
+    (distance exactly 1.0)."""
+    d, _ = corpus
+    cfg = pipeline.PipelineConfig()
+    b = pipeline.parse(spark.read.parquet(f"{d}/baseline"), cfg)
+    t = pipeline.parse(spark.read.parquet(f"{d}/target"), cfg)
+    model_df = M.train(b)
+    bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
+
+    def scored_map(enriched):
+        scored = pipeline._SCORED_REFS[-1]
+        rows = {(r.tool, r.dkey): float(r.score) for r in scored.collect()}
+        pipeline.release_stage_caches()
+        return rows
+
+    e1 = pipeline.enrich(t, bc, cfg, count_scored=False)
+    e1.count()
+    s1 = scored_map(e1)
+    e2 = pipeline.enrich(t, None, cfg, count_scored=False, model_df=model_df)
+    e2.count()
+    s2 = scored_map(e2)
+    assert set(s1) == set(s2) and len(s1) > 0
+    for k, v in s1.items():
+        assert abs(v - s2[k]) < 1e-6, (k, v, s2[k])
+    # exact 1.0 distances (no bucket overlap) must be exactly 1.0 both ways
+    ones = [k for k, v in s1.items() if v == 1.0]
+    assert all(s2[k] == 1.0 for k in ones)
+
+
+def test_single_index_fallback_distributed(spark):
+    """A one-group model matches every tool (lookup_or_single,
+    model.rs:857-869) — the distributed join must honor it too."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    b = spark.createDataFrame(
+        [("b", i, "log", f"baseline {w} steady", "solo", None)
+         for i, w in enumerate(["alpha", "bravo", "charlie"])],
+        schema,
+    )
+    t = spark.createDataFrame(
+        [("t", 0, "log", "baseline alpha steady", "other-tool", None),
+         ("t", 1, "log", "genuinely novel explosion", "third-tool", None)],
+        schema,
+    )
+    cfg = pipeline.PipelineConfig()
+    model_df = M.train(pipeline.parse(b, cfg))
+    enriched = pipeline.enrich(
+        pipeline.parse(t, cfg), None, cfg, count_scored=False, model_df=model_df
+    )
+    rows = {r.turn_idx: r for r in enriched.collect()}
+    pipeline.release_stage_caches()
+    assert rows[0].is_known and rows[1].is_known
+    assert float(rows[0].score) < 0.3 < float(rows[1].score)
