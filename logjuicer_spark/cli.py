@@ -53,6 +53,10 @@ def _write_outputs(out, out_dir, t0=None):
                  "score_hist", "totals", "log_reports"):
         write_table(out[name], f"{out_dir}/{name}")
     _write_report_json(out, out_dir, t0)
+    if "/" in out_dir:  # path (not catalog identifier): browsable artifact
+        from .htmlreport import write_html
+
+        write_html(out, f"{out_dir}/report.html")
 
 
 def _write_report_json(out, out_dir, t0=None):

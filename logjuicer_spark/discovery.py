@@ -55,14 +55,13 @@ def baseline_score(target, candidates: DataFrame, now_col=None) -> DataFrame:
 
 
 def discover_baselines(target, candidates: DataFrame, max_builds: int = 1) -> DataFrame:
-    """Top-scored candidate(s), deterministic tie-break on uuid."""
+    """Top-scored candidate(s), deterministic tie-break on uuid.
+
+    orderBy + limit compiles to TakeOrderedAndProject (distributed per-
+    partition top-k, driver merge of k rows) — a global row_number window
+    here would pull every candidate into one partition."""
     scored = baseline_score(target, candidates)
-    w = Window.orderBy(F.desc("score"), F.asc("uuid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_builds)
-        .drop("rn")
-    )
+    return scored.orderBy(F.desc("score"), F.asc("uuid")).limit(max_builds)
 
 
 def discover_baselines_per_job(targets: DataFrame, candidates: DataFrame) -> DataFrame:

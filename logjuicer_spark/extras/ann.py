@@ -35,9 +35,22 @@ def brute_force_topk(
 
 
 def train_centroids(emb: DataFrame, n_cells: int = 16, vec_col="embedding",
-                    sample: int = 4096, iters: int = 8, seed: int = 42) -> np.ndarray:
-    """k-means on a driver-side sample (Lloyd iterations in numpy)."""
-    rows = emb.select(vec_col).limit(sample).collect()
+                    sample: int = 4096, iters: int = 8, seed: int = 42,
+                    id_col: str = "vec_id") -> np.ndarray:
+    """k-means on a driver-side sample (Lloyd iterations in numpy).
+
+    The sample is a deterministic distributed top-k by xxhash64(id) — a
+    hash-ordered pseudo-random draw from the WHOLE table (plain
+    .limit(sample) would take the first file's rows, biasing the codebook
+    toward one partition's distribution at scale). TakeOrderedAndProject
+    keeps it one pass, no full sort."""
+    rows = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

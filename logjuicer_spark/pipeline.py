@@ -762,16 +762,18 @@ def run(
 
     parsed = spark.read.parquet(f"{work_dir}/parsed")
     enriched = enrich(parsed, bc, cfg, model_df=model_df)
-    # conversation sizes from the checkpoint (column-pruned parquet scan),
-    # so the monster-conv probe never re-evaluates the enrich plan
-    conv_sizes = (
-        parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
-        if cfg.max_task_lines is not None
-        else None
-    )
-    route(enriched, cfg, conv_sizes=conv_sizes).write.mode("overwrite").parquet(
-        f"{work_dir}/routed"
-    )
+    # monster-conv probe, cheapest-first: a count-star over the checkpoint
+    # (parquet footer metadata, no column reads) proves no conversation can
+    # exceed the limit whenever the WHOLE input is under it; only then pay
+    # the per-conv size aggregation (still just a conv_id column scan)
+    conv_sizes = None
+    allow_split = False
+    if cfg.max_task_lines is not None and parsed.count() > cfg.max_task_lines:
+        allow_split = True
+        conv_sizes = parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    route(
+        enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split
+    ).write.mode("overwrite").parquet(f"{work_dir}/routed")
     release_stage_caches()
     routed = spark.read.parquet(f"{work_dir}/routed")
 

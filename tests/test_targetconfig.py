@@ -158,6 +158,8 @@ def test_cli_consumes_config_file(tmp_path, spark):
         out = str(tmp_path / f"out-{job}")
         cli.main(["--out", out, "--config", str(cfgf), "--job-name", job,
                   "diff", bdir, tdir])
+        html = open(f"{out}/report.html").read()  # S11 browsable artifact
+        assert "logjuicer-spark report" in html
         return json.load(open(f"{out}/report.json"))["total_anomaly_count"]
 
     assert run("noisy-gate") == 0      # matcher 0: explosion ignored
