@@ -753,12 +753,20 @@ def run(
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         parse_fut = pool.submit(_parse_target)
+        parsed_b = None
         if model_df is None:
             if baseline_turns is None:
                 raise ValueError("need baseline_turns or model_df")
-            model_df = train_model(spark, baseline_turns, cfg)
+            # persist the parsed baseline: the trainer's counters and
+            # winners branches would otherwise each run the tokenize UDF
+            parsed_b = parse(baseline_turns, cfg).persist()
+            model_df = model_mod.train(parsed_b, group_col=cfg.group_col)
         bc = _broadcast_or_none(spark, model_df)
         parse_fut.result()
+        if parsed_b is not None and bc is not None:
+            # distributed-scoring runs (bc None) keep reading model_df,
+            # whose lineage includes parsed_b — keep the cache alive then
+            parsed_b.unpersist()
 
     parsed = spark.read.parquet(f"{work_dir}/parsed")
     enriched = enrich(parsed, bc, cfg, model_df=model_df)
