@@ -539,6 +539,37 @@ def q_similarity_report(spark, sf_dir):
     return rep.select("group", "tokens", "conv_id", "turn_idx", "n_sources")
 
 
+def q_score_distributed(spark, sf_dir):
+    """J2's core math as relational algebra: the distributed scorer's join
+    half over STAGED vector entries and model coordinates. DuckDB verifies
+    the dot products, the per-line max and the distance clamp — the heart
+    of the engine's scoring, previously only golden-tested."""
+    from . import model as M, pipeline as P
+    from .score import explode_model, score_join, vectorize_entries
+
+    t_all = turns_view(spark, sf_dir)
+    baseline = t_all.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
+        "is_baseline", "etype"
+    )
+    target = t_all.filter(~F.col("is_baseline")).drop("is_baseline", "etype")
+    cfg = P.PipelineConfig()
+    model_df = M.train(P.parse(baseline, cfg))
+    parsed_t = P.parse(target, cfg)
+    winners = (
+        parsed_t.filter(~F.col("is_ignored"))
+        .withColumn("_skey", P._skey())
+        .groupBy("tool", "dkey")
+        .agg(
+            F.min("_skey").alias("skey"),
+            F.min_by("tokens", "_skey").alias("tokens"),
+        )
+    )
+    w = _stage(spark, winners.select("tool", "dkey", "skey", "tokens"), "score_winners")
+    t = _stage(spark, vectorize_entries(w), "score_vec")
+    m = _stage(spark, explode_model(model_df), "score_model")
+    return score_join(t, m, w, single_index=False).select("tool", "dkey", "score")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> typed metadata via the
     mapInPandas extractor. The synthetic media table is staged so the oracle
@@ -624,6 +655,7 @@ QUERIES.update(
         "q_ann_ivf": q_ann_ivf,
         "q_errors_report": q_errors_report,
         "q_similarity_report": q_similarity_report,
+        "q_score_distributed": q_score_distributed,
         "q_media_features": q_media_features,
     }
 )
@@ -716,6 +748,18 @@ ORACLE_SQL.update(
             " SELECT grp AS \"group\", tokens, (MIN(m)).c AS conv_id, (MIN(m)).ti AS turn_idx,"
             "  CAST(COUNT(DISTINCT ROW(target_id, conv_id)) AS INT) AS n_sources"
             " FROM contrib GROUP BY grp, tokens"
+        ),
+        "q_score_distributed": (
+            f"WITH t AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/score_vec.parquet/*.parquet')),"
+            f" m AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/score_model.parquet/*.parquet')),"
+            f" w AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/score_winners.parquet/*.parquet')),"
+            " d AS (SELECT t.tool, t.dkey, m.row_id, SUM(t.tval * m.mval) AS dot"
+            "  FROM t JOIN m ON t.tool = m.group_key AND t.bucket = m.bucket"
+            "  GROUP BY 1, 2, 3),"
+            " b AS (SELECT tool, dkey, MAX(dot) AS best FROM d GROUP BY 1, 2)"
+            " SELECT w.tool, w.dkey,"
+            "  CAST(LEAST(1.0, 1.0 - COALESCE(b.best, 0.0)) AS FLOAT) AS score"
+            " FROM w LEFT JOIN b ON w.tool = b.tool AND w.dkey = b.dkey"
         ),
         "q_media_features": (
             f"SELECT media_id, modality, CAST(octet_length(payload) AS INT) AS n_bytes,"

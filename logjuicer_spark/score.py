@@ -76,32 +76,18 @@ def _vectorize_winners_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         )
 
 
-def score_winners_distributed(winners, model_df, single_index: bool):
-    """Score winner lines against the model WITHOUT collecting it: the
-    sparse matmul as relational algebra.
+def vectorize_entries(winners):
+    """(tool, dkey, skey, bucket, tval): the exploded sparse-vector entries
+    of each winner line (Arrow-batched; the only Python in the join path)."""
+    return winners.mapInPandas(_vectorize_winners_fn, _VECTOR_SCHEMA)
 
-    Shape (the 10^12-line design point where the model itself is huge):
-    explode model rows to (group, bucket, row_id, mval) and winner lines to
-    (group, bucket, tval) — the Arrow-batched UDF above is the only Python —
-    then join on (group, bucket), partial-sum the products per
-    (group, dkey, row_id) (map-side combine), take the per-line max dot and
-    emit distance = min(1, 1 - max). Rows with no bucket overlap keep
-    distance 1.0 via the final left join (index.rs:68-102 semantics).
 
-    Skew note: hot buckets (tokens present in a large share of baseline
-    rows) concentrate the join; AQE skew-join splits them, and the
-    per-(dkey,row_id) aggregation bounds any single task's output. Same
-    asymptotic work as the broadcast kernel, paid as one shuffle instead of
-    a driver collect + N-executor broadcast.
-
-    Reference: cosine_distance_chunk (index.rs:85-102), lookup_or_single
-    (model.rs:857-869) — with single_index=True the one index matches every
-    group, so the join drops the group-key equality.
-    """
+def explode_model(model_df):
+    """(group_key, row_id, bucket, mval): the model matrix in coordinate
+    form — the join-side layout of the distributed scorer."""
     from pyspark.sql import functions as F
 
-    t = winners.mapInPandas(_vectorize_winners_fn, _VECTOR_SCHEMA)
-    m = model_df.select(
+    return model_df.select(
         F.col("group_key"),
         F.col("row_id"),
         F.explode(F.arrays_zip("indices", "values")).alias("z"),
@@ -111,6 +97,16 @@ def score_winners_distributed(winners, model_df, single_index: bool):
         F.col("z.indices").alias("bucket"),
         F.col("z.values").alias("mval"),
     )
+
+
+def score_join(t, m, winners, single_index: bool):
+    """The relational half of the distributed scorer: join vector entries
+    against model coordinates, partial-sum dot products per (line, row),
+    max per line, distance = min(1, 1 - max); left join keeps no-overlap
+    lines at exactly 1.0. Pure DataFrame ops — DuckDB-oracle-able over
+    staged t/m (entry_queries.q_score_distributed)."""
+    from pyspark.sql import functions as F
+
     if single_index:
         cond = [t["bucket"] == m["bucket"]]
     else:
@@ -135,4 +131,31 @@ def score_winners_distributed(winners, model_df, single_index: bool):
             .cast("float")
             .alias("score"),
         )
+    )
+
+
+def score_winners_distributed(winners, model_df, single_index: bool):
+    """Score winner lines against the model WITHOUT collecting it: the
+    sparse matmul as relational algebra.
+
+    Shape (the 10^12-line design point where the model itself is huge):
+    explode model rows to (group, bucket, row_id, mval) and winner lines to
+    (group, bucket, tval) — the Arrow-batched UDF above is the only Python —
+    then join on (group, bucket), partial-sum the products per
+    (group, dkey, row_id) (map-side combine), take the per-line max dot and
+    emit distance = min(1, 1 - max). Rows with no bucket overlap keep
+    distance 1.0 via the final left join (index.rs:68-102 semantics).
+
+    Skew note: hot buckets (tokens present in a large share of baseline
+    rows) concentrate the join; AQE skew-join splits them, and the
+    per-(dkey,row_id) aggregation bounds any single task's output. Same
+    asymptotic work as the broadcast kernel, paid as one shuffle instead of
+    a driver collect + N-executor broadcast.
+
+    Reference: cosine_distance_chunk (index.rs:85-102), lookup_or_single
+    (model.rs:857-869) — with single_index=True the one index matches every
+    group, so the join drops the group-key equality.
+    """
+    return score_join(
+        vectorize_entries(winners), explode_model(model_df), winners, single_index
     )
