@@ -539,6 +539,61 @@ def q_similarity_report(spark, sf_dir):
     return rep.select("group", "tokens", "conv_id", "turn_idx", "n_sources")
 
 
+def q_flagship_anomalies(spark, sf_dir):
+    """The flagship's anomaly-set semantics, DuckDB-oracled end to end.
+
+    The emitted anomaly set is exactly: per-(tool, token-set) first
+    occurrence (winner), scored above the f32 0.3 threshold, and globally
+    first among anomalous occurrences of its token-set. All of that is
+    relational once the two UDF products are staged (parsed lines with
+    their dedup keys; winner scores), so the oracle independently
+    re-derives the full set — winners aggregation, score join, global
+    dedup, threshold — and the Spark side returns the REAL pipeline's
+    routed anomalies. Context arrays (the one non-SQL part) are excluded
+    from the projection; they are covered by the golden corpus and the
+    differential fuzz suites. q_pipeline_anomalies stays unstaged for the
+    bench's flagship timing."""
+    from . import model as M, pipeline as P
+    from .score import SCORED_SCHEMA, make_score_fn
+
+    cfg = P.PipelineConfig()
+    t_all = turns_view(spark, sf_dir).cache()
+    baseline = t_all.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
+        "is_baseline", "etype"
+    )
+    target = t_all.filter(~F.col("is_baseline")).drop("is_baseline", "etype")
+
+    model_df = M.train(P.parse(baseline, cfg))
+    bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
+    _stage(spark, model_df.select("group_key").distinct(), "flag_groups")
+
+    parsed_full = P.parse(target, cfg)
+    _stage(
+        spark,
+        parsed_full.select(
+            "conv_id", "turn_idx", "sub_idx", "tool", "text", "dkey", "is_ignored"
+        ),
+        "flag_parsed",
+    )
+    winners = (
+        parsed_full.filter(~F.col("is_ignored"))
+        .withColumn("_skey", P._skey())
+        .groupBy("tool", "dkey")
+        .agg(
+            F.min("_skey").alias("skey"),
+            F.min_by("tokens", "_skey").alias("tokens"),
+        )
+    )
+    scored = winners.mapInPandas(make_score_fn(bc), SCORED_SCHEMA)
+    _stage(spark, scored.select("tool", "dkey", "score"), "flag_scored")
+
+    out = P.run(spark, target, model_df=model_df, cfg=cfg)
+    t_all.unpersist()
+    return out["anomalies"].select(
+        "conv_id", "turn_idx", "tool", "text", F.col("score").cast("float").alias("score")
+    )
+
+
 def q_score_distributed(spark, sf_dir):
     """J2's core math as relational algebra: the distributed scorer's join
     half over STAGED vector entries and model coordinates. DuckDB verifies
@@ -656,6 +711,7 @@ QUERIES.update(
         "q_errors_report": q_errors_report,
         "q_similarity_report": q_similarity_report,
         "q_score_distributed": q_score_distributed,
+        "q_flagship_anomalies": q_flagship_anomalies,
         "q_media_features": q_media_features,
     }
 )
@@ -748,6 +804,33 @@ ORACLE_SQL.update(
             " SELECT grp AS \"group\", tokens, (MIN(m)).c AS conv_id, (MIN(m)).ti AS turn_idx,"
             "  CAST(COUNT(DISTINCT ROW(target_id, conv_id)) AS INT) AS n_sources"
             " FROM contrib GROUP BY grp, tokens"
+        ),
+        # flagship anomaly-set semantics, independently re-derived: winners
+        # (first occurrence per (tool, token-set)), score join, f32-0.3
+        # threshold (the literal is float32(0.3) promoted to double, the
+        # exact comparison Spark performs), global dedup (first anomalous
+        # occurrence per token-set)
+        "q_flagship_anomalies": (
+            f"WITH p AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/flag_parsed.parquet/*.parquet')),"
+            f" g AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/flag_groups.parquet/*.parquet')),"
+            f" s AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/flag_scored.parquet/*.parquet')),"
+            " elig AS (SELECT * FROM p WHERE NOT is_ignored"
+            "   AND tool IN (SELECT group_key FROM g)),"
+            " w AS (SELECT tool, dkey,"
+            "   MIN(struct_pack(c := conv_id, t := turn_idx, si := sub_idx)) AS m"
+            "   FROM elig GROUP BY tool, dkey),"
+            " tw AS (SELECT w.tool, w.dkey, (w.m).c AS conv_id, (w.m).t AS turn_idx,"
+            "   (w.m).si AS sub_idx, s.score"
+            "   FROM w JOIN s ON w.tool = s.tool AND w.dkey = s.dkey),"
+            " anom AS (SELECT * FROM tw WHERE score > 0.30000001192092896),"
+            " gl AS (SELECT dkey,"
+            "   MIN(struct_pack(c := conv_id, t := turn_idx, si := sub_idx)) AS m"
+            "   FROM anom GROUP BY dkey)"
+            " SELECT a.conv_id, a.turn_idx, a.tool, p2.text, CAST(a.score AS FLOAT) AS score"
+            " FROM anom a JOIN gl ON a.dkey = gl.dkey"
+            "  AND a.conv_id = (gl.m).c AND a.turn_idx = (gl.m).t AND a.sub_idx = (gl.m).si"
+            " JOIN p p2 ON p2.conv_id = a.conv_id AND p2.turn_idx = a.turn_idx"
+            "  AND p2.sub_idx = a.sub_idx"
         ),
         "q_score_distributed": (
             f"WITH t AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/score_vec.parquet/*.parquet')),"
