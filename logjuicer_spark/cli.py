@@ -46,6 +46,18 @@ def _cfg(args) -> "PipelineConfig":
     )
 
 
+def human_duration(seconds: float) -> str:
+    """X7 (cli/main.rs:842-854): 320ms / 2.30s / 1m30s / 42h00m."""
+    secs = int(seconds)
+    if secs < 1:
+        return f"{int(seconds * 1000)}ms"
+    if secs < 60:
+        return f"{seconds:.2f}s"
+    if secs < 3600:
+        return f"{secs // 60}m{secs % 60:02d}s"
+    return f"{secs // 3600}h{(secs % 3600) // 60:02d}m"
+
+
 def _write_outputs(out, out_dir, t0=None):
     from .storage import write_table
 
@@ -219,8 +231,10 @@ def main(argv=None):
                 failed += 1
         status.update(results=results, failed=failed)
 
-    # the reference's live throughput metric (main.rs:593-603): MB/s
+    # the reference's live throughput metric (main.rs:593-603): MB/s +
+    # the human-readable duration it prints alongside
     status["seconds"] = round(time.time() - t0, 2)
+    status["duration"] = human_duration(status["seconds"])
     if "mb" in status and status["seconds"]:
         status["mb_per_sec"] = round(status["mb"] / status["seconds"], 2)
     print(json.dumps(status))

@@ -153,3 +153,13 @@ def test_similarity_first_text_pinned(spark):
     assert len(out) == 1
     assert out[0].text == "boom FIRST"
     assert out[0].conv_id == "x" and out[0].first_target == 0
+
+
+def test_human_duration_reference_goldens():
+    # cli/main.rs:833-840
+    from logjuicer_spark.cli import human_duration
+
+    assert human_duration(0.320) == "320ms"
+    assert human_duration(2.300) == "2.30s"
+    assert human_duration(90.0) == "1m30s"
+    assert human_duration(42 * 3600 + 2) == "42h00m"
