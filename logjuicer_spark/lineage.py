@@ -65,10 +65,14 @@ def run_routed_with_resume(
     run_id: str,
     n_buckets: int = 64,
     _bucket_filter=None,
+    conv_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Route with bucket-level checkpointing. Re-invoking with the same
     run_id resumes: completed buckets are skipped. `_bucket_filter` is a
     test hook simulating a crash after a subset of buckets.
+
+    conv_sizes: precomputed (conv_id, n) counts for the monster-conv probe
+    (see pipeline.route) so it doesn't re-evaluate the enriched plan.
 
     Returns the full routed DataFrame read back from the sink (only
     complete once every bucket is processed).
@@ -81,7 +85,9 @@ def run_routed_with_resume(
     if _bucket_filter is not None:
         todo = todo.filter(F.col("bucket").isin(list(_bucket_filter)))
 
-    routed = route(todo.drop("bucket"), cfg).withColumn("bucket", bucket_col(n_buckets))
+    routed = route(
+        todo.drop("bucket"), cfg, conv_sizes=conv_sizes
+    ).withColumn("bucket", bucket_col(n_buckets))
     routed.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/routed")
     lineage_rows(routed, run_id, "route").write.mode("append").parquet(
         f"{out_dir}/{LINEAGE_SUBDIR}"
