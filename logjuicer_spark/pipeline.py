@@ -184,9 +184,13 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
 def _skey():
     """Sortable single-string encoding of (conv_id, turn_idx, sub_idx):
     lexicographic order of skey == tuple order (\\x00 sorts below every
-    other byte; indices zero-padded). A single orderable string keeps the
-    first-occurrence aggregations in HashAggregate — min(struct(...)) would
-    fall back to SortAggregate and sort every row by (group, dkey)."""
+    other byte; indices zero-padded). One orderable value serves the
+    first-occurrence min/min_by aggregations, the is_target equality probe
+    and the global-dedup comparison. The winners aggregation compiles to a
+    partial SortAggregate (string agg buffers are not HashAggregate-
+    mutable) — the scale property that matters is the MAP-SIDE COMBINE:
+    duplicate token-sets collapse before the shuffle, unlike a row_number
+    window which would ship and sort every raw row (see PLANS.md)."""
     return F.concat_ws(
         "\x00",
         "conv_id",
