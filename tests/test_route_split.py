@@ -204,11 +204,19 @@ def test_route_dispatch_splits_only_oversized(spark):
     )
     words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
     lines = [f"{a} {b} {c}" for a in words for b in words for c in words][:160]
-    rows = [("big", i, "log", t, "bash", None) for i, t in enumerate(lines)]
+    rows = [
+        # interleave rows from an UNKNOWN tool (model has two groups, so
+        # lookup_or_single does not apply): they must route 'unknown'
+        # identically through both paths
+        ("big", i, "log", t, "bash" if i % 5 else "mystery", None)
+        for i, t in enumerate(lines)
+    ]
     rows += [("tiny", 0, "log", "alpha bravo charlie", "bash", None)]
     t = spark.createDataFrame(rows, schema)
     b = spark.createDataFrame(
-        [("base", i, "log", x, "bash", None) for i, x in enumerate(lines[:100])], schema
+        [("base", i, "log", x, "bash" if i % 2 else "zsh", None)
+         for i, x in enumerate(lines[:100])],
+        schema,
     )
     cfg = pipeline.PipelineConfig(max_task_lines=50)
     bc = M.broadcast_indexes(spark, M.collect_indexes(pipeline.train_model(spark, b)))
@@ -221,4 +229,6 @@ def test_route_dispatch_splits_only_oversized(spark):
 
     assert key(got) == key(ref)
     assert len(got) == 161
+    assert any(r.route == "unknown" for r in got)  # mystery-tool rows
+    assert any(r.route == "anomaly" for r in got)
     pipeline.release_stage_caches()
