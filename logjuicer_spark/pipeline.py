@@ -767,10 +767,14 @@ def run(
             model_df = model_mod.train(parsed_b, group_col=cfg.group_col)
         bc = _broadcast_or_none(spark, model_df)
         parse_fut.result()
-        if parsed_b is not None and bc is not None:
-            # distributed-scoring runs (bc None) keep reading model_df,
-            # whose lineage includes parsed_b — keep the cache alive then
-            parsed_b.unpersist()
+        if parsed_b is not None:
+            if bc is not None:
+                parsed_b.unpersist()
+            else:
+                # distributed-scoring runs keep reading model_df, whose
+                # lineage includes parsed_b — release with the stage caches
+                # after the routed sink is written
+                _SCORED_REFS.append(parsed_b)
 
     parsed = spark.read.parquet(f"{work_dir}/parsed")
     enriched = enrich(parsed, bc, cfg, model_df=model_df)
