@@ -99,18 +99,69 @@ def explode_model(model_df):
     )
 
 
-def score_join(t, m, winners, single_index: bool):
+def score_join(
+    t, m, winners, single_index: bool,
+    hot_bucket_rows: int = 8192, hot_salts: int = 16,
+):
     """The relational half of the distributed scorer: join vector entries
     against model coordinates, partial-sum dot products per (line, row),
     max per line, distance = min(1, 1 - max); left join keeps no-overlap
     lines at exactly 1.0. Pure DataFrame ops — DuckDB-oracle-able over
-    staged t/m (entry_queries.q_score_distributed)."""
+    staged t/m (entry_queries.q_score_distributed).
+
+    Hot-bucket salting: a token present in a large share of baseline rows
+    makes its (group, bucket) join key carry |targets| x |bucket rows|
+    pairs through one reducer. Buckets larger than hot_bucket_rows are
+    salted: model coordinates get salt = row_id % hot_salts, target entries
+    replicate across all salts (each pair still meets exactly once, so the
+    dot sums are unchanged) — the pair stream and its partial-aggregate
+    hash maps spread over hot_salts times more tasks. Cold buckets pay
+    nothing (salt 0, no replication); the hot dim is a broadcast."""
     from pyspark.sql import functions as F
 
+    keys = ["bucket"] if single_index else ["group_key", "bucket"]
+    hot = (
+        m.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_bucket_rows)
+        .select(*keys, F.lit(True).alias("_hot"))
+    )
+    m = (
+        m.join(F.broadcast(hot), keys, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot"), F.pmod(F.col("row_id"), F.lit(hot_salts))
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_hot")
+    )
+    hot_t = hot.select(
+        *[F.col(k).alias(f"_h_{k}") for k in keys], F.col("_hot")
+    )
+    t_cond = [t["bucket"] == F.col("_h_bucket")]
+    if not single_index:
+        t_cond.append(t["tool"] == F.col("_h_group_key"))
+    t = (
+        t.join(F.broadcast(hot_t), t_cond, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot"), F.sequence(F.lit(0), F.lit(hot_salts - 1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_hot", "_salts", *[f"_h_{k}" for k in keys])
+    )
+
     if single_index:
-        cond = [t["bucket"] == m["bucket"]]
+        cond = [t["bucket"] == m["bucket"], t["_salt"] == m["_salt"]]
     else:
-        cond = [t["tool"] == m["group_key"], t["bucket"] == m["bucket"]]
+        cond = [
+            t["tool"] == m["group_key"],
+            t["bucket"] == m["bucket"],
+            t["_salt"] == m["_salt"],
+        ]
     dots = (
         t.join(m, cond)
         .groupBy("tool", "dkey", "row_id")

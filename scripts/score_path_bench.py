@@ -12,8 +12,11 @@ Known worst case (measured, documented in BENCH.md): with hot shared
 tokens AND zero dedup leverage (generate_turns(unique_tokens=True)), the
 join's intermediate pair volume is the full Σ bucket-collision count —
 the broadcast kernel bounds that with pair-budgeted flushes, the join
-OOMs. The fallback targets oversized models, not overlap-pathological
-ones; hot-bucket salting is the documented extension if both happen.
+exhausts the shared local-mode heap even with hot-bucket salting (which
+is implemented and equality-tested; it spreads the pair stream across
+salted tasks — the right mechanic on per-executor cluster heaps). The
+fallback targets oversized models; overlap-pathological corpora remain
+kernel territory.
 
 Usage: python scripts/score_path_bench.py [n_turns]
 """

@@ -96,3 +96,31 @@ def test_single_index_fallback_distributed(spark):
     pipeline.release_stage_caches()
     assert rows[0].is_known and rows[1].is_known
     assert float(rows[0].score) < 0.3 < float(rows[1].score)
+
+
+def test_hot_bucket_salting_preserves_scores(spark, corpus):
+    """Force salting on every bucket (threshold 0, 4 salts): the dot sums
+    are a repartitioning of the same pair multiset, so scores must match
+    the unsalted join within f32 tolerance."""
+    from logjuicer_spark.score import explode_model, score_join, vectorize_entries
+
+    d, _ = corpus
+    cfg = pipeline.PipelineConfig()
+    b = pipeline.parse(spark.read.parquet(f"{d}/baseline"), cfg)
+    t = pipeline.parse(spark.read.parquet(f"{d}/target"), cfg)
+    model_df = M.train(b)
+    winners = (
+        t.filter(~F.col("is_ignored"))
+        .withColumn("_skey", F.expr("concat_ws(char(0), conv_id, lpad(turn_idx, 10, '0'), lpad(sub_idx, 6, '0'))"))
+        .groupBy("tool", "dkey")
+        .agg(F.min("_skey").alias("skey"), F.min_by("tokens", "_skey").alias("tokens"))
+    )
+    tv = vectorize_entries(winners)
+    m = explode_model(model_df)
+    plain = {(r.tool, r.dkey): float(r.score)
+             for r in score_join(tv, m, winners, False, hot_bucket_rows=10**9).collect()}
+    salted = {(r.tool, r.dkey): float(r.score)
+              for r in score_join(tv, m, winners, False, hot_bucket_rows=0, hot_salts=4).collect()}
+    assert set(plain) == set(salted) and len(plain) > 0
+    for k, v in plain.items():
+        assert abs(v - salted[k]) < 1e-6
