@@ -21,9 +21,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Staging area for UDF-produced intermediates (minhash/simhash signatures,
 # media payloads, ...) so the DuckDB oracle can verify the RELATIONAL part
 # of a UDF-bearing query (banding, bucket joins, aggregation) over the exact
-# same rows via read_parquet. The path is fixed because oracle_sql() strings
-# are static; the query writes it immediately before the oracle reads it.
-ORACLE_STAGE = "/tmp/lj_oracle"
+# same rows via read_parquet. The path is namespaced per process (pid) so
+# concurrent oracle/bench invocations don't overwrite each other's staged
+# parquet between the query's write and DuckDB's read; oracle_sql() strings
+# embed the path at import time, so the Spark query and the DuckDB replay in
+# the same process always agree. LJ_ORACLE_STAGE overrides for cross-process
+# setups.
+import os as _os
+
+ORACLE_STAGE = _os.environ.get("LJ_ORACLE_STAGE", f"/tmp/lj_oracle_{_os.getpid()}")
 
 
 def _stage(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
@@ -841,7 +847,8 @@ ORACLE_SQL.update(
             "  GROUP BY 1, 2, 3),"
             " b AS (SELECT tool, dkey, MAX(dot) AS best FROM d GROUP BY 1, 2)"
             " SELECT w.tool, w.dkey,"
-            "  CAST(LEAST(1.0, 1.0 - COALESCE(b.best, 0.0)) AS FLOAT) AS score"
+            "  CAST(LEAST(CAST(1.0 AS REAL),"
+            "     CAST(1.0 AS REAL) - CAST(COALESCE(b.best, 0.0) AS REAL)) AS REAL) AS score"
             " FROM w LEFT JOIN b ON w.tool = b.tool AND w.dkey = b.dkey"
         ),
         "q_media_features": (

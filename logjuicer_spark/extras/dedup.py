@@ -154,23 +154,60 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_dedup_groups(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
-    """Connected components via iterative min-label propagation (small
-    iteration count; near-dup clusters are tiny in practice). Returns
-    (id, keep_id)."""
+def minhash_dedup_groups(
+    pairs: DataFrame, sigs: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components via min-label propagation TO FIXPOINT: each
+    round costs one join + one changed-labels count job; the loop stops as
+    soon as no label moves, so typical tiny near-dup clusters converge in
+    2-3 rounds while a chain of diameter d needs d rounds (label distance
+    shrinks by >=1 hop per round). If max_iters trips first the residual
+    changed-label count is LOGGED (no silent split groups — the repo's
+    "no silent caps" rule). Returns (id, keep_id)."""
+    import logging
+
     edges = pairs.select("id_a", "id_b")
     labels = sigs.select("id", F.col("id").alias("label"))
-    sym = edges.union(edges.select(F.col("id_b"), F.col("id_a"))).toDF("id", "nbr")
-    for _ in range(5):
+    sym = (
+        edges.union(edges.select(F.col("id_b"), F.col("id_a")))
+        .toDF("id", "nbr")
+        .persist()
+    )
+    sym.count()  # materialize once; every round re-reads it
+    changed = None
+    prev = None
+    for _ in range(max_iters):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
             .groupBy("id")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        # localCheckpoint (not persist): labels feeds BOTH the propagate join
+        # and the min-combine, so without truncation the logical plan doubles
+        # every round — exponential analysis cost long before any data moves
+        prop = (
             labels.join(nbr_min, "id", "left")
-            .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .select(
+                "id",
+                F.col("label").alias("_old"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
         )
+        changed = prop.filter(F.col("label") < F.col("_old")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = prop
+        labels = prop.drop("_old")
+        if changed == 0:
+            break
+    if changed:
+        logging.getLogger(__name__).warning(
+            "minhash_dedup_groups: label propagation did not converge in "
+            "%d rounds (%d labels still moving) — some groups may be split; "
+            "raise max_iters for longer chains", max_iters, changed,
+        )
+    sym.unpersist()
     return labels.withColumnRenamed("label", "keep_id")
 
 

@@ -140,8 +140,12 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
         df = df.withColumn("is_ignored", F.lit(False))
 
     if cfg.self_ref_marker:
-        # F5: drop the marker line and everything after it, per conversation
-        # (small marker dim -> broadcast anti-range filter)
+        # F5: drop the marker line and everything after it, per conversation.
+        # The marker dim has one row per conversation CONTAINING the marker —
+        # usually rare, but a corpus where most conversations contain it makes
+        # the dim |convs|-sized, so the broadcast is count-guarded like the
+        # scored/global-dedup dims (below): under the threshold broadcast,
+        # above it fall back to a shuffle join instead of OOMing executors.
         marker_pos = (
             df.filter(F.col("text").contains(cfg.self_ref_marker))
             .groupBy(F.col("conv_id").alias("_m_conv"))
@@ -149,8 +153,11 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
                 F.min(F.struct("turn_idx", "sub_idx")).alias("_m"),
             )
         )
+        n_marked = marker_pos.count()
+        if n_marked < _BROADCAST_SCORED_ROWS:
+            marker_pos = F.broadcast(marker_pos)
         df = (
-            df.join(F.broadcast(marker_pos), df["conv_id"] == F.col("_m_conv"), "left")
+            df.join(marker_pos, df["conv_id"] == F.col("_m_conv"), "left")
             .filter(
                 F.col("_m_conv").isNull()
                 | (F.struct("turn_idx", "sub_idx") < F.col("_m"))
@@ -233,20 +240,33 @@ def enrich(
     exceeds the driver-collect budget (run() falls back automatically)."""
     group = cfg.group_col
     if bc_indexes is not None:
+        # collected-model path: the keys are already on the driver, so the
+        # isin predicate is free (and prunable at the scan)
         known_keys = list(bc_indexes.value.keys())
+        single_index = len(known_keys) == 1  # lookup_or_single, model.rs:857-869
+        is_known = F.lit(True) if single_index else F.col(group).isin(known_keys)
+        parsed = parsed.withColumn("is_known", is_known)
     else:
         if model_df is None:
             raise ValueError("enrich needs bc_indexes or model_df")
-        known_keys = [
-            r[0] for r in model_df.select("group_key").distinct().collect()
-        ]
-    single_index = len(known_keys) == 1  # lookup_or_single, model.rs:857-869
-
-    if single_index:
-        is_known = F.lit(True)
-    else:
-        is_known = F.col(group).isin(known_keys)
-    parsed = parsed.withColumn("is_known", is_known).withColumn("_skey", _skey())
+        # distributed-model path: the group dim is unbounded in principle, so
+        # never collect it — probe single-index with a limit(2) count and tag
+        # membership via a broadcast join on the dim (a million-group model
+        # would bloat an isin predicate into the plan itself)
+        groups = model_df.select("group_key").distinct()
+        single_index = groups.limit(2).count() == 1  # model.rs:857-869
+        if single_index:
+            parsed = parsed.withColumn("is_known", F.lit(True))
+        else:
+            known_dim = F.broadcast(
+                groups.select(F.col("group_key").alias("_known_g"))
+            )
+            parsed = (
+                parsed.join(known_dim, parsed[group] == F.col("_known_g"), "left")
+                .withColumn("is_known", F.col("_known_g").isNotNull())
+                .drop("_known_g")
+            )
+    parsed = parsed.withColumn("_skey", _skey())
 
     eligible = parsed.filter(F.col("is_known") & ~F.col("is_ignored"))
     winners = (
@@ -428,6 +448,19 @@ def route(
     does not re-evaluate the enrich plan; allow_split=False skips the probe
     entirely (used for inputs already known to be small)."""
     if not allow_split or cfg.max_task_lines is None:
+        return _route_single(enriched, cfg)
+    if cfg.parse_timestamps:
+        # range splitting is undefined in parse-timestamp mode (W3 LastTS
+        # state crosses chunk boundaries unbounded — route_split raises), so
+        # skip the skew guard instead of crashing; a monster conversation
+        # then runs as one task, which is the pre-guard behavior
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "parse_timestamps=True: skipping the monster-conversation split "
+            "guard (max_task_lines=%s); oversized conversations run as "
+            "single tasks", cfg.max_task_lines,
+        )
         return _route_single(enriched, cfg)
     if conv_sizes is None:
         conv_sizes = enriched.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))

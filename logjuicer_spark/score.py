@@ -176,11 +176,15 @@ def score_join(
             "tool",
             "dkey",
             "skey",
+            # rounding order matches the broadcast kernel (hashing.py score):
+            # cast the f64 max-dot to f32 FIRST, then subtract in f32 — a
+            # f64 subtraction with one final cast can differ by 1 ulp, which
+            # flips anomaly membership on the f32(0.3) knife edge
             F.least(
-                F.lit(1.0), F.lit(1.0) - F.coalesce(F.col("best"), F.lit(0.0))
-            )
-            .cast("float")
-            .alias("score"),
+                F.lit(1.0).cast("float"),
+                F.lit(1.0).cast("float")
+                - F.coalesce(F.col("best").cast("float"), F.lit(0.0).cast("float")),
+            ).alias("score"),
         )
     )
 

@@ -93,9 +93,12 @@ class MatcherConfig:
     job_re: str | None = None
 
     def matches(self, job_name: str | None) -> bool:
-        if self.job_re is None:
+        # Reference parity (config.rs:241-248): content WITHOUT a job name
+        # matches ANY matcher (`_ => true`), so with job_name=None the first
+        # entry's config applies rather than the default fallback.
+        if self.job_re is None or job_name is None:
             return True
-        return job_name is not None and re.search(self.job_re, job_name) is not None
+        return re.search(self.job_re, job_name) is not None
 
 
 class Config:
