@@ -353,13 +353,17 @@ def q_pipeline_anomalies(spark, sf_dir):
     from . import pipeline
 
     # the events->turns window is consumed by several plan branches; cache
-    # the small materialized view so row_number doesn't recompute per branch
+    # the small materialized view so row_number doesn't recompute per branch.
+    # The count() both materializes the cache ONCE (the overlapped baseline
+    # and target jobs would otherwise race to compute it) and supplies the
+    # target-row upper bound so run() skips its limit-probe job.
     t = turns_view(spark, sf_dir).cache()
+    n_rows = t.count()
     baseline = t.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
         "is_baseline", "etype"
     )
     target = t.filter(~F.col("is_baseline")).drop("is_baseline", "etype")
-    out = pipeline.run(spark, target, baseline_turns=baseline)
+    out = pipeline.run(spark, target, baseline_turns=baseline, input_rows=n_rows)
     t.unpersist()
     return out["anomalies"].select(
         "conv_id", "turn_idx", "tool", "text", F.round("score", 4).alias("score")

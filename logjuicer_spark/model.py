@@ -92,6 +92,53 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     )
 
 
+def train_collected(
+    spark: SparkSession, parsed_baseline: DataFrame, group_col: str = "tool"
+) -> tuple[dict[str, SparseIndex], DataFrame]:
+    """Small-input trainer: ONE collect job, the model built driver-side.
+
+    Semantically identical to ``train`` + ``collect_indexes`` (same
+    first-occurrence winners dedup under the _skey order, the same
+    SparseIndex.from_token_lines build over the same skey-sorted input, the
+    same per-group counters) — equality is pinned by
+    tests/test_round3_fixes.py::test_train_collected_equals_distributed.
+    The difference is WHERE the aggregation runs: for inputs under
+    pipeline.run's small-input threshold the whole parsed baseline is a few
+    MB, so collecting it once and aggregating in pandas skips three shuffle
+    stages and two python-UDF stages of the distributed trainer (about half
+    the train chain's wall clock at that size). Returns
+    ``(indexes, model_df)`` where model_df is createDataFrame-backed (no
+    executor lineage, so nothing to unpersist)."""
+    from .pipeline import _skey
+
+    rows = parsed_baseline.filter(~F.col("is_ignored")).select(
+        F.col(group_col).alias("group_key"),
+        _skey().alias("skey"),
+        "dkey",
+        "tokens",
+        F.octet_length("text").alias("nbytes"),
+    )
+    pdf = rows.toPandas()
+    created = _dt.datetime.now(tz=_dt.timezone.utc)
+    indexes: dict[str, SparseIndex] = {}
+    out_rows = []
+    for group, g in pdf.groupby("group_key", sort=False):
+        line_count = int(len(g))
+        byte_count = int(g["nbytes"].sum())
+        winners = g.sort_values("skey", kind="stable").drop_duplicates(
+            subset=["dkey"], keep="first"
+        )
+        idx = SparseIndex.from_token_lines(winners["tokens"].tolist())
+        indexes[group] = idx
+        for row_id, inds, vals in idx.to_rows():
+            out_rows.append(
+                (group, int(row_id), inds, vals, MODEL_VERSION, created,
+                 line_count, byte_count)
+            )
+    model_df = spark.createDataFrame(out_rows, MODEL)
+    return indexes, model_df
+
+
 def save(model_df: DataFrame, path: str) -> None:
     from .storage import write_table
 

@@ -719,8 +719,15 @@ def run(
     cfg: PipelineConfig = PipelineConfig(),
     work_dir: str | None = None,
     small_input_rows: int = 200_000,
+    input_rows: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full diff-style run (E1/E2): train (or load) then report.
+
+    ``input_rows``: caller-known upper bound on the target row count. When
+    the caller already knows it (a parquet footer count, a cached view's
+    count), passing it skips the limit-probe job — which otherwise
+    re-evaluates the target's whole upstream plan (windows, joins) just to
+    decide the small-input fast path.
 
     Stage outputs (parsed, routed) are checkpointed to ``work_dir`` as
     parquet: parsed feeds three plan branches (winner aggregation, join
@@ -739,42 +746,81 @@ def run(
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="logjuicer_run_")
 
-    # small inputs skip the stage checkpoints and the train/parse overlap:
-    # at that size the whole DAG re-evaluates in well under a checkpoint's
-    # fixed cost (job scheduling + write + re-scan), so fewer jobs win.
-    # probe with a short-circuiting limit so big inputs pay ~one split scan
-    try:
-        small = (
-            target_turns.limit(small_input_rows + 1).count() <= small_input_rows
-        )
-    except Exception:
-        small = False
+    # small inputs skip the stage checkpoints: at that size the whole DAG
+    # re-evaluates in well under a checkpoint's fixed cost (job scheduling +
+    # write + re-scan), so fewer jobs win. When the caller didn't supply
+    # input_rows, probe with a short-circuiting limit so big inputs pay
+    # ~one split scan.
+    if input_rows is not None:
+        small = input_rows <= small_input_rows
+    else:
+        try:
+            small = (
+                target_turns.limit(small_input_rows + 1).count()
+                <= small_input_rows
+            )
+        except Exception:
+            small = False
 
     if small:
         # persist the parsed stages in memory instead of parquet
         # checkpoints: at this size the executor cache beats a write+rescan,
         # and both parse outputs feed multiple plan branches (baseline:
         # counters + winners; target: winners, join probe, route input) —
-        # without it the tokenize UDF re-runs per branch
+        # without it the tokenize UDF re-runs per branch.
+        # The target parse is materialized on a second thread while the
+        # baseline trains + collects (same overlap the big path uses): the
+        # two job chains are independent until enrich needs both.
+        #
+        # AQE is toggled OFF for the materializing actions of this branch:
+        # at small scale its stage-by-stage materialization turns one
+        # pipelined job into a cascade of mini-jobs with a scheduling gap
+        # each (measured ~2s of the flagship's wall at sf0.1), while every
+        # runtime decision AQE could make here is already static — all join
+        # dims are broadcast-hinted and 32 partitions of a small input
+        # cannot skew. The session value is restored before returning; the
+        # returned DataFrames read the materialized routed cache.
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         caches = []
-        if model_df is None:
-            if baseline_turns is None:
-                raise ValueError("need baseline_turns or model_df")
-            parsed_b = parse(baseline_turns, cfg).persist()
-            caches.append(parsed_b)
-            model_df = model_mod.train(parsed_b, group_col=cfg.group_col)
-        bc = _broadcast_or_none(spark, model_df)
-        parsed_t = parse(target_turns, cfg).persist()
-        caches.append(parsed_t)
-        enriched = enrich(parsed_t, bc, cfg, count_scored=False, model_df=model_df)
-        # small input => no conversation can exceed max_task_lines
-        route(enriched, cfg, allow_split=False).write.mode("overwrite").parquet(
-            f"{work_dir}/routed"
-        )
+        try:
+            parsed_t = parse(target_turns, cfg).persist()
+            caches.append(parsed_t)
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                mat_fut = pool.submit(parsed_t.count)
+                if model_df is None:
+                    if baseline_turns is None:
+                        raise ValueError("need baseline_turns or model_df")
+                    # small-input trainer: one collect job, model built on
+                    # the driver (train_collected docstring) — the parsed
+                    # baseline has exactly one consumer here, so no persist
+                    indexes, model_df = model_mod.train_collected(
+                        spark, parse(baseline_turns, cfg), group_col=cfg.group_col
+                    )
+                    bc = model_mod.broadcast_indexes(spark, indexes)
+                else:
+                    bc = _broadcast_or_none(spark, model_df)
+                mat_fut.result()
+            enriched = enrich(
+                parsed_t, bc, cfg, count_scored=False, model_df=model_df
+            )
+            # small input => no conversation can exceed max_task_lines. The
+            # routed stage is persisted (not parquet-checkpointed): it feeds
+            # the four route views + the aggregates, and at this size the
+            # executor cache beats a write+commit+rescan. Materialize BEFORE
+            # releasing the upstream caches or the route job would recompute
+            # uncached.
+            routed = route(enriched, cfg, allow_split=False).persist()
+            routed.count()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         release_stage_caches()
         for c in caches:
             c.unpersist()
-        routed = spark.read.parquet(f"{work_dir}/routed")
+        # the routed cache outlives this call (the caller reads the views);
+        # register it so the NEXT run's release reclaims it — long sessions
+        # running many small queries don't accumulate executor cache
+        _SCORED_REFS.append(routed)
         out = {"routed": routed, "model": model_df, "work_dir": work_dir}
         out["anomalies"] = routed.filter(F.col("route") == "anomaly")
         out["normal"] = routed.filter(F.col("route") == "normal")

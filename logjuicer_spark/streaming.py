@@ -94,6 +94,7 @@ def stateful_route(
     bc_indexes,
     threshold: float = 0.3,
     cfg: PipelineConfig = PipelineConfig(),
+    flush_timeout_ms: int | None = None,
 ):
     """applyInPandasWithState operator: per-conversation rolling state
     (seen token-sets, a <=12-line context tail, the open anomaly awaiting
@@ -104,7 +105,21 @@ def stateful_route(
     before-context is the last <=3 tail lines (12 when chained within the
     tail), after-context completes in this or the next micro-batch. The
     batch engine remains the source of truth for exact golden parity.
-    """
+
+    Quiescence flush: a conversation idle for ``flush_timeout_ms`` of
+    processing time is CLOSED — its open anomaly (one still collecting
+    after-context at the stream tail) is emitted with the partial context
+    and the state removed, so the last anomaly of a stream with no
+    successor batch is not lost AND idle conversations don't hold state
+    forever (the state-size bound the 100-TB design needs). A turn arriving
+    after the flush starts the conversation fresh.
+
+    OPT-IN (default None): an armed processing-time timeout keeps the
+    engine scheduling micro-batches until it fires, which never lets
+    drain-style runs (availableNow triggers, processAllAvailable) settle —
+    so continuous production streams should set it (it is also the state
+    bound for idle conversations), while finite drains should leave it
+    off."""
     import json
 
     from .context import BETWEEN_CTX_LENGTH, CTX_LENGTH
@@ -115,6 +130,17 @@ def stateful_route(
 
     def fn(key, pdfs, state):
         conv_id = key[0]
+        import pandas as _pd
+
+        cols = ["conv_id", "turn_idx", "tool", "text", "score", "before", "after"]
+        if state.hasTimedOut:
+            # quiescence: emit the open anomaly with its partial
+            # after-context and drop the conversation's state
+            st = json.loads(state.get[0])
+            open_a = st.get("open")
+            state.remove()
+            yield _pd.DataFrame([open_a] if open_a else [], columns=cols)
+            return
         if state.exists:
             st = json.loads(state.get[0])
         else:
@@ -170,9 +196,10 @@ def stateful_route(
             "open": open_a,
             "last_ctx_gap": gap if gap < 10**8 else 10**9,
         }),))
-        import pandas as _pd
-
-        cols = ["conv_id", "turn_idx", "tool", "text", "score", "before", "after"]
+        if flush_timeout_ms is not None:
+            # re-armed on every batch that carries data for the group; fires
+            # on the first batch executed after the idle period
+            state.setTimeoutDuration(flush_timeout_ms)
         yield _pd.DataFrame(out_rows, columns=cols)
 
     return (
@@ -182,6 +209,9 @@ def stateful_route(
             outputStructType=STREAM_ANOMALY_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf="NoTimeout",
+            timeoutConf=(
+                "ProcessingTimeTimeout" if flush_timeout_ms is not None
+                else "NoTimeout"
+            ),
         )
     )

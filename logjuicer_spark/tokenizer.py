@@ -179,7 +179,21 @@ def global_filter(line: str) -> bool:
     # (fast path: a space is by far the most common whitespace)
     if " " not in line and _WHITESPACE_RE.search(line) is None:
         return True
-    return _GLOBAL_RE.search(line) is not None
+    # trigger gate: every _GLOBAL_RE alternative implies one of these cheap
+    # C-speed substring/prefix probes (mapping, in pattern order: GET/HTTP ->
+    # "GET / HTTP/1"; "\* ..." -> '*'; mirror literal; ovs-ofctl; (ip|eb)tables
+    # -> "tables "; "^\^[+*-]" -> startswith '^'; dnsmasq; "^[a-f0-9s/]+>" ->
+    # '>'; "^\+\+ echo" -> prefix; net.ipv/net.interface -> "net"; the
+    # |.{17}| table-border -> '|'), so the common no-trigger line skips the
+    # big alternation scan entirely (~4x on the line-level cold path)
+    if (
+        "*" in line or ">" in line or "|" in line or "net" in line
+        or "dnsmasq" in line or "tables " in line or "ovs-ofctl" in line
+        or "GET / HTTP/1" in line or "Trying other mirror" in line
+        or line.startswith("^") or line.startswith("++ echo ")
+    ):
+        return _GLOBAL_RE.search(line) is not None
+    return False
 
 
 def _remove_numbers(word: str) -> str:
@@ -241,8 +255,9 @@ def _parse_literal(word: str) -> str | None:
     """tokenizer.rs:455-480 -- the order is part of the contract. Each
     regex is guarded by a C-speed precondition implied by its pattern (the
     golden corpus pins the equivalences)."""
-    # %DATE: all date words are pure ASCII letters, <= 9 chars
-    if len(word) <= 9 and word.isalpha() and _DATE_RE.match(word):
+    # %DATE: all date words are pure ASCII letters, <= 9 chars; the anchored
+    # IGNORECASE|ASCII alternation is equivalent to a lowercase set lookup
+    if len(word) <= 9 and word.isalpha() and word.lower() in _DATE_WORDS:
         return "%DATE"
     if _is_hash(word):
         return "%HASH"
@@ -256,8 +271,9 @@ def _parse_literal(word: str) -> str | None:
     # %UID: pattern needs >= 3 dashes
     if word.count("-") >= 3 and _UUID_RE.match(word):
         return "%UID"
-    # %URL: case-insensitive scheme prefix
-    if word[:8].lower().startswith(_URL_PREFIXES):
+    # %URL: case-insensitive scheme prefix (first-char gate skips the two
+    # string allocations for the overwhelmingly common non-URL word)
+    if word[:1] in "hfsHFS" and word[:8].lower().startswith(_URL_PREFIXES):
         return "%URL"
     if _is_random_path(word):
         return "%PATH"
@@ -324,6 +340,24 @@ def _push_error(word: str, out: list[str]) -> None:
         out.append(tag)
 
 
+def _cached_sub(word: str, it, out: list[str]) -> bool:
+    """Recursion step through the per-word cache: sub-words (key/value
+    halves, '/'-'-'-'|' segments, pid-stripped stems) repeat heavily across
+    a corpus (the same registry key with a thousand different ports), so
+    each distinct sub-word is processed once per executor. Exactness: a
+    word's full result (fragment, added, consumed count) is a pure function
+    of the word — the consume-next cases discard the consumed word's
+    content (tokenizer.rs:536,576) — so replaying frag + consuming
+    ``consumed`` items from the live iterator is identical to direct
+    recursion."""
+    frag, added, consumed = _word_result(word)
+    for _ in range(consumed):
+        next(it, None)
+    if frag:
+        out.append(frag)
+    return added
+
+
 def _do_process(base_word: str, it, out: list[str]) -> bool:
     """Recursive word processor; ``it`` is the live word iterator so that
     consume-next semantics (%VALUE_ID, password keys) match the reference
@@ -334,50 +368,53 @@ def _do_process(base_word: str, it, out: list[str]) -> bool:
         added = False
     elif (token := _parse_literal(word)) is not None:
         out.append(token)
-    elif _ERROR_RE.match(word):
+    # == _ERROR_RE.match: anchored IGNORECASE|ASCII alternation = ASCII-
+    # gated lowercase set lookup (non-ASCII words can never match the
+    # pure-ASCII alternatives)
+    elif word.isascii() and word.lower() in _ERROR_WORDS:
         _push_error(word, out)
     elif _blen(word) <= 3:
         added = False
     elif (strip := _trim_pid(word)) is not None:
-        _do_process(strip, it, out)
+        _cached_sub(strip, it, out)
         out.append("%PID")
     elif _ODD_CHAR_RE.search(word):
         out.append("%ODD")
     elif (kv := _is_key_value(word)) is not None:
         key, value = kv
-        _do_process(key, it, out)
+        _cached_sub(key, it, out)
         if _KEY_FOR_ID_RE.search(key):
             if not value:
                 next(it, None)  # consume the next word
             out.append("%EQ %VALUE_ID")
         else:
             out.append("%EQ ")
-            added = _do_process(value, it, out)
+            added = _cached_sub(value, it, out)
     elif "/" in word:
         w1, w2 = word.split("/", 1)
-        if _do_process(w1, it, out):
+        if _cached_sub(w1, it, out):
             out.append("/ ")
-        added = _do_process(w2, it, out)
+        added = _cached_sub(w2, it, out)
     elif "-" in word:
         w1, w2 = word.split("-", 1)
         if _MANY_DASH_RE.match(w2):
             out.append("%DASH")
         else:
-            if _do_process(w1, it, out):
+            if _cached_sub(w1, it, out):
                 out.append("- ")
-            added = _do_process(w2, it, out)
+            added = _cached_sub(w2, it, out)
     elif "|" in word:
         w1, w2 = word.split("|", 1)
-        if _do_process(w1, it, out):
+        if _cached_sub(w1, it, out):
             out.append("| ")
-        added = _do_process(w2, it, out)
+        added = _cached_sub(w2, it, out)
     elif _blen(word) >= 32:
         out.append("%BIG")
     elif (tw := _is_two_words(word)) is not None:
         w1, w2 = tw
-        if _do_process(w1, it, out):
+        if _cached_sub(w1, it, out):
             out.append(" ")
-        added = _do_process(w2, it, out)
+        added = _cached_sub(w2, it, out)
     else:
         x = _remove_numbers(word)
         if _is_password_key(x):
@@ -390,14 +427,134 @@ def _do_process(base_word: str, it, out: list[str]) -> bool:
     return added
 
 
-@lru_cache(maxsize=1 << 18)
-def _word_result(word: str) -> tuple[str, bool, int]:
-    """(appended fragment, added flag, number of following words consumed)
-    for one word. Word processing is a pure function of the word except for
-    the consume-next cases (%VALUE_ID with empty value, password keys) where
-    the consumed word's content is discarded (tokenizer.rs:536,576) — so the
-    full result is cacheable per word, which makes tokenizing repetitive log
-    vocabularies a dict lookup per word."""
+# ---- fast word classifier ---------------------------------------------------
+#
+# The dominant word shape in log text is a plain short alphanumeric token.
+# For `^[A-Za-z0-9]{1,24}$` words most of the _do_process cascade is
+# STATICALLY impossible: quote/punct trim is identity; %HASH needs ':'/'~' or
+# >= 64 chars; %UID(uuid) needs '-'; %URL needs '://'; %PATH's "/tmp|tmp/"
+# arms need '/'; %REF needs '/' or '..'; %BASE64 needs '=' or > 24 bytes;
+# %UNIT needs '['; pid-trim needs '['; %ODD chars are excluded by the class;
+# key-value needs '='/':'; the '/', '-', '|' splits and %BIG (>= 32 bytes)
+# can't fire; two-words needs '[', '(', '\\' or '@'; password keys need
+# ':'/'='. What remains collapses to set lookups and prefix probes in the
+# exact tokenizer.rs:455-480 precedence. Differentially fuzz-tested against
+# the full cascade (tests/test_tokenizer_fastpath.py).
+
+_ALNUM_WORD_RE = re.compile(r"^[A-Za-z0-9]{1,24}$")
+# _UID_FAST_RE restricted to the alnum alphabet: every char hex-ish
+_HEX_ONLY_RE = re.compile(r"^[0-9a-fA-FxZ]+$")
+# _DATE_RE's alternation expanded ("weeds?" is verbatim from the reference)
+_DATE_WORDS = frozenset(
+    "sunday monday tuesday wednesday thursday friday saturday "
+    "january february march april may june july august september october "
+    "november december month months weed weeds day days hour hours "
+    "minute minutes".split()
+)
+# _ERROR_RE's alternation ("non-zero" can never match the alnum shape but
+# keeping it costs nothing)
+_ERROR_WORDS = frozenset(
+    "error fatal failure failed warning err fail warn denied assert "
+    "assertion non-zero exception traceback".split()
+)
+
+
+def _word_result_alnum(word: str) -> tuple[str, bool, int] | None:
+    """Exact-equivalent result of _do_process for plain alnum words, or None
+    when the word is out of shape and the full cascade applies."""
+    if _ALNUM_WORD_RE.match(word) is None:
+        return None
+    lw = word.lower()
+    if lw in _DATE_WORDS:
+        return ("%DATE", True, 0)
+    if (
+        _HEX_ONLY_RE.match(word) is not None
+        or (
+            ("latest" in word or "none" in word)
+            and _uid_pattern_match_slow(word)
+        )
+        or _contains_no_vowel(word)
+    ):
+        return ("%ID", True, 0)
+    if word.startswith(_COOKIE_PREFIXES) or (
+        word.startswith("tx") and len(word) > 2 and word[2] in _LC
+    ):
+        return ("%COOKIE", True, 0)
+    if word.startswith("tmp"):
+        return ("%PATH", True, 0)
+    if lw in _ERROR_WORDS:
+        out: list[str] = []
+        _push_error(word, out)
+        return ("".join(out), True, 0)
+    if len(word) <= 3:
+        return ("", False, 0)
+    x = word if word.isalpha() else _remove_numbers(word)
+    if len(x) > 3:
+        return (x, True, 0)
+    return ("", False, 0)
+
+
+# alnum segments joined by single dashes, whole word < 64 bytes (>= 64 could
+# hit %HASH's long-run arm, whose class includes '-')
+_DASH_WORD_RE = re.compile(r"^[A-Za-z0-9]+(?:-[A-Za-z0-9]+)+$")
+# _UID_FAST_RE restricted to the dash alphabet: hex-ish first char, then
+# hex-ish or '-'
+_HEX_DASH_RE = re.compile(r"^[0-9a-fA-FxZ][0-9a-fA-FxZ0-9-]*$")
+
+
+def _word_result_dash(word: str) -> tuple[str, bool, int] | None:
+    """Exact-equivalent result of _do_process for dash-joined alnum words
+    (pod-a2863a7f, compute-1051, ...), or None when out of shape.
+
+    For this shape the cascade collapses to: %ID (hex-ish chars / uid
+    literals / no-vowel), %COOKIE, %PATH prefix, the error words (only
+    "non-zero" carries a dash), the <=3-byte drop, then the '-' split —
+    %DASH when the tail has >= 3 more dashes, else recurse per segment
+    (each segment is alnum or dash-shaped, so the recursion stays fast and
+    never consumes from the word iterator). All other classes are
+    statically impossible: %DATE needs isalpha, %HASH needs ':'/'~' or a
+    64-char run, %UID(uuid) needs a trailing '-', %URL '://', %REF '/' or
+    '..', %BASE64 '=' or the base64 charset, %UNIT/pid-trim '[', %ODD its
+    char class, key-value '='/':', the '/' and '|' splits their chars, and
+    %BIG sits after the '-' branch."""
+    if len(word) >= 64 or _DASH_WORD_RE.match(word) is None:
+        return None
+    if (
+        _HEX_DASH_RE.match(word) is not None
+        or (
+            (
+                "latest" in word
+                or "none" in word
+                or "rabbitmq-cluster-id-" in word
+            )
+            and _uid_pattern_match_slow(word)
+        )
+        or _contains_no_vowel(word)
+    ):
+        return ("%ID", True, 0)
+    if word.startswith(_COOKIE_PREFIXES) or (
+        word.startswith("tx") and len(word) > 2 and word[2] in _LC
+    ):
+        return ("%COOKIE", True, 0)
+    if word.startswith("tmp"):
+        return ("%PATH", True, 0)
+    if word.lower() == "non-zero":
+        out: list[str] = []
+        _push_error(word, out)
+        return ("".join(out), True, 0)
+    if len(word) <= 3:
+        return ("", False, 0)
+    w1, w2 = word.split("-", 1)
+    if _MANY_DASH_RE.match(w2):
+        return ("%DASH", True, 0)
+    r1 = _word_result_alnum(w1) or _word_result_slow(w1)
+    r2 = _word_result_alnum(w2) or _word_result_dash(w2) or _word_result_slow(w2)
+    frag = r1[0] + ("- " if r1[1] else "") + r2[0]
+    return (frag, r2[1], 0)
+
+
+def _word_result_slow(word: str) -> tuple[str, bool, int]:
+    """The full cascade (used directly by the differential fast-path test)."""
     out: list[str] = []
     consumed = [0]
 
@@ -408,6 +565,20 @@ def _word_result(word: str) -> tuple[str, bool, int]:
 
     added = _do_process(word, _counting(), out)
     return "".join(out), added, consumed[0]
+
+
+@lru_cache(maxsize=1 << 18)
+def _word_result(word: str) -> tuple[str, bool, int]:
+    """(appended fragment, added flag, number of following words consumed)
+    for one word. Word processing is a pure function of the word except for
+    the consume-next cases (%VALUE_ID with empty value, password keys) where
+    the consumed word's content is discarded (tokenizer.rs:536,576) — so the
+    full result is cacheable per word, which makes tokenizing repetitive log
+    vocabularies a dict lookup per word."""
+    fast = _word_result_alnum(word) or _word_result_dash(word)
+    if fast is not None:
+        return fast
+    return _word_result_slow(word)
 
 
 @lru_cache(maxsize=1 << 20)

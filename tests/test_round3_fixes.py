@@ -207,6 +207,36 @@ def test_self_ref_guard_fallback_identical(spark, monkeypatch):
     assert snap() == want
 
 
+# ------------------------------------- 7. small-input driver-side trainer
+
+
+def test_train_collected_equals_distributed(spark):
+    b, t, _ = gen.generate_corpus(
+        n_baseline_convs=4, n_target_convs=2, turns_per_conv=40, seed=23
+    )
+    cfg = pipeline.PipelineConfig()
+    parsed_b = pipeline.parse(gen.to_spark_df(spark, b), cfg)
+    dist_df = M.train(parsed_b, group_col=cfg.group_col)
+    dist_idx = M.collect_indexes(dist_df)
+    loc_idx, loc_df = M.train_collected(spark, parsed_b, group_col=cfg.group_col)
+
+    def snap(df):
+        return sorted(
+            (r.group_key, r.row_id, tuple(r.indices),
+             tuple(round(v, 7) for v in r.values),
+             r.model_version, r.line_count, r.byte_count)
+            for r in df.collect()
+        )
+
+    assert snap(loc_df) == snap(dist_df)
+    assert set(loc_idx) == set(dist_idx)
+    for g in dist_idx:
+        a, b_ = dist_idx[g], loc_idx[g]
+        assert a.nrows == b_.nrows and a.nnz == b_.nnz
+        probe = ["totally novel probe line", "login channel alpine bucket-3 x=1"]
+        assert list(a.score(probe)) == list(b_.score(probe))
+
+
 # --------------------------------- 6. broadcast join for known-group dim
 
 

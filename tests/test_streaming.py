@@ -108,3 +108,62 @@ def test_stateful_route_across_batches(spark):
     assert a.after[2].startswith("cache lookup")
     shutil.rmtree(in_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_route_quiescence_flush(spark):
+    """An anomaly still collecting after-context at the stream tail must be
+    emitted (with partial context) once the conversation has been idle for
+    the processing-time timeout — not lost forever (round-3 fix). No
+    successor data is ever written: the timeout alone flushes it."""
+    import time
+
+    from logjuicer_spark import model as M
+    from logjuicer_spark.streaming import stateful_route
+
+    baseline_rows, _, _ = gen.generate_corpus(
+        n_baseline_convs=3, n_target_convs=1, turns_per_conv=25, seed=6
+    )
+    model_df = pipeline.train_model(spark, gen.to_spark_df(spark, baseline_rows))
+    bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
+
+    in_dir = tempfile.mkdtemp(prefix="squiesce_in_")
+    ckpt = tempfile.mkdtemp(prefix="squiesce_ck_")
+
+    def turn(conv, i, text):
+        return {"conv_id": conv, "turn_idx": i, "role": "tool", "text": text,
+                "tool": "bash", "ts": None}
+
+    # conv cT ends ON an anomaly: its after-context never completes
+    batch1 = [
+        turn("cT", 1, "cache lookup for bucket amber returned 3 entries with hit ratio stable behaviour"),
+        turn("cT", 2, "FATAL disk corruption detected on volume omegastream sector unreadable halting"),
+    ]
+    gen.to_spark_df(spark, batch1).write.parquet(f"{in_dir}/b1")
+    stream = spark.readStream.schema(TURNS).parquet(f"{in_dir}/*")
+    q = (
+        stateful_route(stream, bc, flush_timeout_ms=1)
+        .writeStream.format("memory")
+        .queryName("squiesce")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from squiesce").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert len(rows) == 1
+        a = rows[0]
+        assert a.conv_id == "cT" and a.turn_idx == 2
+        assert "FATAL disk corruption" in a.text
+        assert len(a.before) == 1 and len(a.after) == 0  # partial, as flushed
+        # the state was removed on flush: no duplicate emission afterwards
+        time.sleep(2)
+        assert spark.sql("select * from squiesce").count() == 1
+    finally:
+        q.stop()
