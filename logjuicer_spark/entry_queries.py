@@ -470,11 +470,16 @@ def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-k against the vec_id 0 query. Cell assignments
     and the probed-cell list are staged; the oracle replays the pruning +
     exact cosine top-k."""
-    from .extras.ann import ivf_assign, ivf_search, probe_cells, train_centroids
+    from .extras.ann import (
+        ivf_assign, ivf_search, probe_cells, train_centroids_distributed,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    cents = train_centroids(emb, n_cells=8)
+    # distributed Lloyd (every vector, map-side partial sums) — the
+    # scale-correct trainer; the sampled driver trainer remains for cheap
+    # ad-hoc codebooks
+    cents = train_centroids_distributed(spark, emb, n_cells=8, iters=6)
     cells = _stage(
         spark,
         ivf_assign(spark, emb, cents).select(

@@ -66,6 +66,74 @@ def train_centroids(emb: DataFrame, n_cells: int = 16, vec_col="embedding",
     return cent
 
 
+def train_centroids_distributed(
+    spark, emb: DataFrame, n_cells: int = 16, vec_col="embedding",
+    iters: int = 8, id_col: str = "vec_id", tol: float = 1e-9,
+) -> np.ndarray:
+    """Distributed Lloyd: every vector participates in every iteration.
+
+    Per iteration, ONE mapInPandas pass computes per-partition partial sums
+    per centroid (cell, count, sum-vector) — the map-side combine of
+    k-means — and only the tiny (n_cells x n_partitions) partial table
+    reaches the driver for the centroid update. This replaces the
+    driver-sample trainer at scale: a bounded sample can entirely miss a
+    rare-but-real cluster (tests/test_extras.py::
+    test_distributed_lloyd_finds_cluster_the_sample_misses), while the
+    full-data pass cannot. Init is the same deterministic hash-ordered
+    draw the sampler uses (n_cells rows). Cost: iters scans of the
+    embedding table (persisted across iterations here; at 100 TB you cap
+    iters and/or pre-filter, but the per-iteration shape — map-side
+    partial sums, O(n_cells) driver traffic — is the one that scales)."""
+    rows = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cent = np.array([r[0] for r in rows], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    vec = emb.select(F.col(vec_col).alias("v")).persist()
+    schema = "cell int, n long, psum array<double>"
+    try:
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(cent)
+
+            def part_sums(batches):
+                c = bc.value
+                acc = np.zeros((len(c), c.shape[1]), dtype=np.float64)
+                cnt = np.zeros(len(c), dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                    m /= np.maximum(
+                        np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                    )
+                    a = (m @ c.T).argmax(axis=1)
+                    np.add.at(acc, a, m)
+                    cnt += np.bincount(a, minlength=len(c))
+                yield pd.DataFrame(
+                    {"cell": range(len(c)), "n": cnt, "psum": list(acc)}
+                )
+
+            parts = vec.mapInPandas(part_sums, schema).toPandas()
+            new = cent.copy()
+            for cell, g in parts.groupby("cell"):
+                n = int(g["n"].sum())
+                if n > 0:
+                    s = np.sum(np.stack(g["psum"].to_numpy()), axis=0)
+                    v = s / n
+                    new[int(cell)] = v / max(np.linalg.norm(v), 1e-12)
+            moved = float(np.abs(new - cent).max())
+            cent = new
+            if moved <= tol:
+                break
+    finally:
+        vec.unpersist()
+    return cent
+
+
 def ivf_assign(spark, emb: DataFrame, centroids: np.ndarray, vec_col="embedding") -> DataFrame:
     """Assign every vector to its nearest centroid cell (vectorized pandas
     UDF over the broadcast codebook). Returns emb + a ``cell`` int column."""

@@ -99,9 +99,39 @@ def explode_model(model_df):
     )
 
 
+def save_exploded_model(
+    model_df, table_name: str, buckets: int = 64, single_index: bool = False
+):
+    """Persist the model in its JOIN-SIDE layout: coordinate rows bucketed
+    (and sorted) by the distributed scorer's join keys. Repeat runs against
+    the same baseline then skip both the explode and the model-side
+    exchange — Spark reads bucketed tables pre-partitioned on the join
+    keys, so only the (new) target side shuffles (storage-partitioned
+    join; verified by plan shape in tests/test_distributed_score.py and
+    PLANS.md). The scorer must join UNSALTED for the co-partitioning to
+    hold (score_join with hot_bucket_rows=None): hot-bucket salting joins
+    on an extra salt key that the storage layout can't provide. Use the
+    bucketed layout for repeat runs over baselines without pathological
+    hot buckets; the salted ad-hoc path otherwise."""
+    m = explode_model(model_df)
+    keys = ["bucket"] if single_index else ["group_key", "bucket"]
+    (
+        m.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table_name)
+    )
+
+
+def load_exploded_model(spark, table_name: str):
+    """The bucketed join-side model written by save_exploded_model."""
+    return spark.table(table_name)
+
+
 def score_join(
     t, m, winners, single_index: bool,
-    hot_bucket_rows: int = 8192, hot_salts: int = 16,
+    hot_bucket_rows: int | None = 8192, hot_salts: int = 16,
 ):
     """The relational half of the distributed scorer: join vector entries
     against model coordinates, partial-sum dot products per (line, row),
@@ -116,10 +146,27 @@ def score_join(
     replicate across all salts (each pair still meets exactly once, so the
     dot sums are unchanged) — the pair stream and its partial-aggregate
     hash maps spread over hot_salts times more tasks. Cold buckets pay
-    nothing (salt 0, no replication); the hot dim is a broadcast."""
+    nothing (salt 0, no replication); the hot dim is a broadcast.
+
+    hot_bucket_rows=None disables salting entirely: the join runs on the
+    bare keys, which is what lets a bucketed model table
+    (save_exploded_model) join without a model-side exchange."""
     from pyspark.sql import functions as F
 
     keys = ["bucket"] if single_index else ["group_key", "bucket"]
+    if hot_bucket_rows is None:
+        if single_index:
+            cond = [t["bucket"] == m["bucket"]]
+        else:
+            cond = [t["tool"] == m["group_key"], t["bucket"] == m["bucket"]]
+        dots = (
+            t.join(m, cond)
+            .groupBy("tool", "dkey", "row_id")
+            .agg(F.sum(F.col("tval") * F.col("mval")).alias("dot"))
+            .groupBy("tool", "dkey")
+            .agg(F.max("dot").alias("best"))
+        )
+        return _score_tail(winners, dots)
     hot = (
         m.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -169,6 +216,14 @@ def score_join(
         .groupBy("tool", "dkey")
         .agg(F.max("dot").alias("best"))
     )
+    return _score_tail(winners, dots)
+
+
+def _score_tail(winners, dots):
+    """distance = min(1, 1 - best dot), left join keeping no-overlap lines
+    at exactly 1.0."""
+    from pyspark.sql import functions as F
+
     return (
         winners.select("tool", "dkey", "skey")
         .join(dots, ["tool", "dkey"], "left")

@@ -169,3 +169,42 @@ def test_lsh_bucket_cap(spark, caplog):
     e = dedup.embedding_buckets(emb, n_planes=4)
     assert dedup.embedding_verify(e, threshold=0.9).count() >= 30 * 29 // 2
     assert dedup.embedding_verify(e, threshold=0.9, max_bucket_size=5).count() == 0
+
+
+def test_distributed_lloyd_finds_cluster_the_sample_misses(spark):
+    """A rare (1%) cluster orthogonal to the bulk: a small driver sample is
+    overwhelmingly likely to miss it, so the sampled trainer places no
+    centroid near it — while distributed Lloyd (every vector participates)
+    must. This is the 100-TB argument for the distributed trainer."""
+    import numpy as np
+
+    from logjuicer_spark.extras.ann import (
+        train_centroids, train_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(9)
+    dim = 16
+    # bulk: 2000 points around two dense directions in the first half of
+    # the space; rare: 20 points on a pure axis unused by the bulk
+    bulk_dirs = np.zeros((2, dim)); bulk_dirs[0, 0] = 1.0; bulk_dirs[1, 1] = 1.0
+    rare_dir = np.zeros(dim); rare_dir[dim - 1] = 1.0
+    rows = []
+    for i in range(2000):
+        v = bulk_dirs[i % 2] + 0.05 * rng.standard_normal(dim)
+        v[dim - 1] = 0.0
+        rows.append((i, [float(x) for x in v]))
+    for j in range(20):
+        v = rare_dir + 0.01 * rng.standard_normal(dim)
+        rows.append((10_000 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def best_cos_to_rare(cents):
+        r = rare_dir / np.linalg.norm(rare_dir)
+        return float((cents @ r).max())
+
+    sampled = train_centroids(emb, n_cells=4, sample=64, iters=6, seed=1)
+    distributed = train_centroids_distributed(spark, emb, n_cells=4, iters=6)
+    # the sampled codebook has no centroid anywhere near the rare axis...
+    assert best_cos_to_rare(sampled) < 0.5, best_cos_to_rare(sampled)
+    # ...the full-data Lloyd does
+    assert best_cos_to_rare(distributed) > 0.95, best_cos_to_rare(distributed)
