@@ -419,6 +419,26 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(sigs, threshold=0.5)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Connected components of the MinHash near-dup graph (fixpoint
+    min-label propagation, extras.dedup.minhash_dedup_groups). The
+    candidate pairs and the id universe are staged; the oracle recomputes
+    the components independently with a recursive CTE (transitive closure,
+    then min reachable label) over the identical graph."""
+    from .extras.dedup import (
+        minhash_dedup_groups, minhash_lsh_pairs, minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    pairs = _stage(
+        spark,
+        minhash_lsh_pairs(sigs, threshold=0.5).select("id_a", "id_b"),
+        "cc_pairs",
+    )
+    ids = _stage(spark, sigs.select("id"), "cc_ids")
+    return minhash_dedup_groups(pairs, ids)
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-duplicate pairs (Hamming <= 3); signatures staged so the
     oracle replays the pigeonhole banding + Hamming verify."""
@@ -718,6 +738,7 @@ QUERIES.update(
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_dedup_groups": q_dedup_groups,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_fingerprint": q_fingerprint,
@@ -767,6 +788,19 @@ ORACLE_SQL.update(
             " FROM j"
             " WHERE ROUND(len(list_filter(range(1,129), i -> sig_a[i] = sig_b[i])) / 128.0, 4)"
             "  >= 0.5"
+        ),
+        "q_dedup_groups": (
+            f"WITH RECURSIVE"
+            f" e AS (SELECT id_a, id_b FROM read_parquet('{ORACLE_STAGE}/cc_pairs.parquet/*.parquet')),"
+            f" ids AS (SELECT id FROM read_parquet('{ORACLE_STAGE}/cc_ids.parquet/*.parquet')),"
+            " edges AS (SELECT id_a AS id, id_b AS nbr FROM e"
+            "   UNION ALL SELECT id_b, id_a FROM e),"
+            " reach(id, label) AS ("
+            "   SELECT id, id FROM ids"
+            "   UNION"
+            "   SELECT edges.id, reach.label FROM edges"
+            "   JOIN reach ON edges.nbr = reach.id)"
+            " SELECT id, MIN(label) AS keep_id FROM reach GROUP BY id"
         ),
         "q_simhash_pairs": (
             f"WITH sigs AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/simhash_sigs.parquet/*.parquet')),"

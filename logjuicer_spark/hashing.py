@@ -166,23 +166,34 @@ class SparseIndex:
 
     @classmethod
     def from_rows(cls, row_triples) -> "SparseIndex":
-        """From persisted (row_id, indices, values) triples (any order)."""
+        """From persisted (row_id, indices, values) triples (any order).
+
+        Vectorized: this runs on the DRIVER during model collect, inside
+        the serial fraction of every run — a per-row python loop here was
+        ~12s on a 500k-row model (measured), which capped scaling at high
+        core counts (Amdahl). np.repeat covers the row ids; the coordinate
+        payloads are np.concatenate'd when the cells are already numpy
+        arrays (the Arrow collect path) and np.fromiter-flattened
+        otherwise."""
         triples = sorted(row_triples, key=lambda r: r[0])
-        rows: list[np.ndarray] = []
-        cols: list[np.ndarray] = []
-        vals: list[np.ndarray] = []
-        for i, (_, idx, val) in enumerate(triples):
-            rows.append(np.full(len(idx), i, dtype=np.int64))
-            cols.append(np.asarray(idx, dtype=np.int64))
-            vals.append(np.asarray(val, dtype=np.float32))
-        if rows:
-            r = np.concatenate(rows)
-            c = np.concatenate(cols)
-            v = np.concatenate(vals)
+        if not triples:
+            e = np.empty(0, dtype=np.int64)
+            return cls(0, e, e.copy(), np.empty(0, dtype=np.float32))
+        lens = np.fromiter(
+            (len(t[1]) for t in triples), dtype=np.int64, count=len(triples)
+        )
+        total = int(lens.sum())
+        r = np.repeat(np.arange(len(triples), dtype=np.int64), lens)
+        if isinstance(triples[0][1], np.ndarray):
+            c = np.concatenate([t[1] for t in triples]).astype(np.int64, copy=False)
+            v = np.concatenate([t[2] for t in triples]).astype(np.float32, copy=False)
         else:
-            r = np.empty(0, dtype=np.int64)
-            c = r.copy()
-            v = np.empty(0, dtype=np.float32)
+            c = np.fromiter(
+                (x for t in triples for x in t[1]), dtype=np.int64, count=total
+            )
+            v = np.fromiter(
+                (x for t in triples for x in t[2]), dtype=np.float32, count=total
+            )
         order = np.argsort(c, kind="stable")
         return cls(len(triples), c[order], r[order], v[order])
 
@@ -271,10 +282,22 @@ class SparseIndex:
                 # promotes weights to f64), then cast once: the two paths are
                 # chosen by batch size, so identical lines must score
                 # bit-identically across partitionings (f32 discipline —
-                # cast commutes with max since it's monotone)
-                uniq, inv = np.unique(keys, return_inverse=True)
-                sums = np.zeros(len(uniq), dtype=np.float64)
-                np.add.at(sums, inv, prod)
+                # cast commutes with max since it's monotone).
+                # Compaction is STABLE sort + segment bincount (round 3; was
+                # np.unique + np.add.at, ~3x slower): within a segment the
+                # stable sort preserves the original gather order, and
+                # bincount adds sequentially in input order, so every
+                # per-key f64 accumulation sequence — hence every bit —
+                # matches the add.at formulation and the dense path.
+                order = np.argsort(keys, kind="stable")
+                ks = keys[order]
+                ps = prod[order]
+                newseg = np.empty(len(ks), dtype=bool)
+                newseg[0] = True
+                np.not_equal(ks[1:], ks[:-1], out=newseg[1:])
+                seg = np.cumsum(newseg) - 1
+                sums = np.bincount(seg, weights=ps)
+                uniq = ks[newseg]
                 tgt = (uniq // nrows).astype(np.int64) + start_t
                 np.minimum.at(
                     result, tgt, np.float32(1.0) - sums.astype(np.float32)

@@ -68,21 +68,48 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
         "group_key string, row_id int, indices array<int>, values array<float>"
     )
 
-    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["skey"], kind="stable")
-        group = pdf["group_key"].iloc[0]
-        idx = SparseIndex.from_token_lines(pdf["tokens"].tolist())
-        rows_out = idx.to_rows()
-        return pd.DataFrame(
-            {
-                "group_key": [group] * len(rows_out),
-                "row_id": [r[0] for r in rows_out],
-                "indices": [r[1] for r in rows_out],
-                "values": [r[2] for r in rows_out],
-            }
-        )
+    # Row ids are the per-group rank under the skey order (what the old
+    # per-group builder produced implicitly); the vectorization itself is
+    # ROW-LOCAL (duplicate-bucket drop and L2 normalization happen within a
+    # line), so it runs as mapInPandas over ANY partitioning. The previous
+    # formulation (applyInPandas per group) was one task per group — with a
+    # handful of groups that stage ran at parallelism 4 no matter how many
+    # cores, a measured ~25s serial chunk on an 8M-line baseline that
+    # capped N->4N scaling (Amdahl). Only the lightweight row_number sort
+    # remains per-group; the python work is spread over all cores.
+    from pyspark.sql import Window
 
-    built = winners.groupBy("group_key").applyInPandas(_build, schema=build_schema)
+    w_order = Window.partitionBy("group_key").orderBy("skey")
+    ranked = winners.withColumn(
+        "row_id", (F.row_number().over(w_order) - 1).cast("int")
+    ).select("group_key", "row_id", "tokens")
+
+    def _vec_rows(batches):
+        import numpy as np
+
+        from .hashing import _vectorize_batch
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows, cols, vals = _vectorize_batch(pdf["tokens"].tolist())
+            bounds = np.searchsorted(rows, np.arange(len(pdf) + 1))
+            yield pd.DataFrame(
+                {
+                    "group_key": pdf["group_key"],
+                    "row_id": pdf["row_id"],
+                    "indices": [
+                        cols[bounds[i]:bounds[i + 1]].astype(np.int32).tolist()
+                        for i in range(len(pdf))
+                    ],
+                    "values": [
+                        vals[bounds[i]:bounds[i + 1]].tolist()
+                        for i in range(len(pdf))
+                    ],
+                }
+            )
+
+    built = ranked.mapInPandas(_vec_rows, schema=build_schema)
     created = _dt.datetime.now(tz=_dt.timezone.utc)
     return (
         built.join(counters, "group_key", "left")
