@@ -1,0 +1,122 @@
+"""File-world sources: compressed log files and tarball traversal
+(source.rs:50-161 semantics — see sources.py docstring)."""
+
+import bz2
+import gzip
+import io
+import lzma
+import os
+import tarfile
+
+from logjuicer_spark import pipeline, sources
+from logjuicer_spark.config import FileSetConfig
+
+
+def _write(path, data: bytes):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def test_read_text_logs_decompression_and_lines(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    _write(f"{d}/plain.log", b"alpha one\nbeta two\r\ngamma three\n")
+    _write(f"{d}/zipped.log.gz", gzip.compress(b"gz line A\ngz line B"))
+    _write(f"{d}/pressed.log.xz", lzma.compress(b"xz only line\n"))
+    _write(f"{d}/squeezed.log.bz2", bz2.compress(b"bz first\nbz second\n"))
+    rows = sorted(
+        (r.source.rsplit("/", 1)[-1], r.line_nr, r.text)
+        for r in sources.read_text_logs(spark, f"{d}/*").collect()
+    )
+    assert rows == [
+        ("plain.log", 1, "alpha one"),
+        ("plain.log", 2, "beta two"),   # \r\n stripped like Rust lines()
+        ("plain.log", 3, "gamma three"),
+        ("pressed.log.xz", 1, "xz only line"),
+        ("squeezed.log.bz2", 1, "bz first"),
+        ("squeezed.log.bz2", 2, "bz second"),
+        ("zipped.log.gz", 1, "gz line A"),
+        ("zipped.log.gz", 2, "gz line B"),  # no terminal newline: kept
+    ]
+
+
+def _make_tar(path, entries, mode="w:gz"):
+    with tarfile.open(path, mode) as tf:
+        for name, payload in entries:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+
+def test_read_tarballs_entries_and_inner_compression(spark, tmp_path):
+    d = str(tmp_path / "archives")
+    os.makedirs(d)
+    _make_tar(
+        f"{d}/build-1.tar.gz",
+        [
+            ("logs/job-output.txt", b"task one ok\ntask two FAILED\n"),
+            ("logs/service.log.gz", gzip.compress(b"svc started\nsvc stopped\n")),
+        ],
+    )
+    _make_tar(
+        f"{d}/build-2.tar.xz",
+        [("controller/messages", b"kernel says hi\n")],
+        mode="w:xz",
+    )
+    rows = sorted(
+        (r.archive.rsplit("/", 1)[-1], r.entry, r.line_nr, r.text)
+        for r in sources.read_tarballs(spark, f"{d}/*").collect()
+    )
+    assert rows == [
+        ("build-1.tar.gz", "logs/job-output.txt", 1, "task one ok"),
+        ("build-1.tar.gz", "logs/job-output.txt", 2, "task two FAILED"),
+        ("build-1.tar.gz", "logs/service.log.gz", 1, "svc started"),
+        ("build-1.tar.gz", "logs/service.log.gz", 2, "svc stopped"),
+        ("build-2.tar.xz", "controller/messages", 1, "kernel says hi"),
+    ]
+
+
+def test_turns_from_tarballs_source_ids_and_fileset(spark, tmp_path):
+    d = str(tmp_path / "arch2")
+    os.makedirs(d)
+    _make_tar(
+        f"{d}/run.tar.gz",
+        [
+            ("logs/screen-api.txt", b"api line\n"),
+            ("etc/hosts", b"127.0.0.1 localhost\n"),  # default-excluded path
+        ],
+    )
+    turns = sources.turns_from_tarballs(
+        spark, f"{d}/*", fileset=FileSetConfig(includes=("screen-",))
+    )
+    got = turns.collect()
+    assert len(got) == 1
+    r = got[0]
+    # Source::TarFile url shape (source.rs:95-161): archive?entry=path
+    assert r.conv_id.endswith("run.tar.gz?entry=logs/screen-api.txt")
+    assert r.turn_idx == 1 and r.text == "api line"
+
+
+def test_diff_over_tarball_corpus_end_to_end(spark, tmp_path):
+    """Full E1 flow over real tarballs: baseline archive vs target archive
+    with one injected novel line."""
+    d = str(tmp_path / "e2e")
+    os.makedirs(d)
+    steady = [f"service step {w} completed cleanly".encode() for w in
+              ("alpha", "bravo", "charlie", "delta")]
+    _make_tar(
+        f"{d}/base.tar.gz",
+        [("logs/service.log", b"\n".join(steady) + b"\n")],
+    )
+    tgt = steady[:2] + [b"FATAL melted reactor core detected zkx911"] + steady[2:]
+    _make_tar(
+        f"{d}/tgt.tar.gz",
+        [("logs/service.log", b"\n".join(tgt) + b"\n")],
+    )
+    b = sources.turns_from_tarballs(spark, f"{d}/base.tar.gz")
+    t = sources.turns_from_tarballs(spark, f"{d}/tgt.tar.gz")
+    out = pipeline.run(spark, t, baseline_turns=b)
+    anoms = out["anomalies"].collect()
+    assert len(anoms) == 1
+    assert "FATAL melted reactor" in anoms[0].text
+    assert anoms[0].conv_id.endswith("tgt.tar.gz?entry=logs/service.log")
