@@ -8,9 +8,12 @@
   similarity R1 R2 ...           cross-run anomaly co-occurrence
   check-model M [--max-age D]    validate a persisted model
 
-Tables are parquet paths or catalog identifiers (storage.py). Outputs land
-under --out as parquet sinks: routed/ anomalies/ normal/ agg_conv/
-agg_tool/ score_hist/ plus a lineage table.
+Inputs are parquet paths / catalog identifiers (default), or with
+--input-format logs|tar raw log-file globs and tarball globs (sources.py;
+the F1 default exclude fileset applies to file inputs exactly like the
+reference's path filtering). Outputs land under --out as parquet sinks:
+routed/ anomalies/ normal/ agg_conv/ agg_tool/ score_hist/ plus a lineage
+table.
 
 Example:
   spark-submit --py-files logjuicer_spark.zip cli.py diff \\
@@ -108,6 +111,11 @@ def main(argv=None):
     p.add_argument("--config", default=None,
                    help="YAML/JSON target config file (static mapping or "
                         "match_job matcher list, config.rs:31-37)")
+    p.add_argument("--input-format", choices=("table", "logs", "tar"),
+                   default="table",
+                   help="how to read BASELINE/TARGET: parquet/catalog "
+                        "table (default), raw log-file glob, or tarball "
+                        "glob (source.rs:50-161)")
     p.add_argument("--job-name", default=None,
                    help="job name used to select a matcher from --config")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -153,11 +161,24 @@ def main(argv=None):
     cfg = _cfg(args)
     status = {"cmd": args.cmd}
 
+    def read_input(ident):
+        fmt = getattr(args, "input_format", "table")
+        if fmt == "table":
+            return read_table(spark, ident)
+        from .config import FileSetConfig
+        from . import sources
+
+        # file-world inputs get the F1 default excludes, like the reference
+        fileset = FileSetConfig()
+        if fmt == "logs":
+            return sources.turns_from_files(spark, ident, fileset=fileset)
+        return sources.turns_from_tarballs(spark, ident, fileset=fileset)
+
     if args.cmd == "diff":
         out = pipeline.run(
             spark,
-            read_table(spark, args.target),
-            baseline_turns=read_table(spark, args.baseline),
+            read_input(args.target),
+            baseline_turns=read_input(args.baseline),
             cfg=cfg,
         )
         _write_outputs(out, args.out, t0)
@@ -171,7 +192,7 @@ def main(argv=None):
     elif args.cmd == "run":
         model_df = M.load(spark, args.model, max_age_days=args.max_age_days)
         out = pipeline.run(
-            spark, read_table(spark, args.target), model_df=model_df, cfg=cfg
+            spark, read_input(args.target), model_df=model_df, cfg=cfg
         )
         _write_outputs(out, args.out)
         totals = out["totals"].collect()[0]
@@ -179,7 +200,7 @@ def main(argv=None):
             lines=totals.total_line_count, anomalies=totals.total_anomaly_count
         )
     elif args.cmd == "train":
-        model_df = pipeline.train_model(spark, read_table(spark, args.baseline), cfg)
+        model_df = pipeline.train_model(spark, read_input(args.baseline), cfg)
         M.save(model_df, args.model)
         status.update(groups=model_df.select("group_key").distinct().count())
     elif args.cmd == "errors":
@@ -191,7 +212,7 @@ def main(argv=None):
                 spark, M.collect_indexes(M.load(spark, args.model))
             )
         out = errors_run(
-            spark, read_table(spark, args.target), cfg, model_indexes_bc=bc
+            spark, read_input(args.target), cfg, model_indexes_bc=bc
         )
         write_table(out, f"{args.out}/errors")
         status.update(anomalies=out.count())

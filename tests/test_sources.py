@@ -120,3 +120,32 @@ def test_diff_over_tarball_corpus_end_to_end(spark, tmp_path):
     assert len(anoms) == 1
     assert "FATAL melted reactor" in anoms[0].text
     assert anoms[0].conv_id.endswith("tgt.tar.gz?entry=logs/service.log")
+
+
+def test_cli_diff_over_tarballs(spark, tmp_path):
+    """CLI surface: diff with --input-format tar over real archives."""
+    import io
+    import json
+    import tarfile
+
+    from logjuicer_spark import cli
+
+    d = str(tmp_path / "cli_arch")
+    os.makedirs(d)
+    steady = [f"worker heartbeat {w} nominal".encode() for w in
+              ("east", "west", "north", "south")]
+    _make_tar(f"{d}/base.tar.gz",
+              [("logs/job-output.txt", b"\n".join(steady) + b"\n")])
+    tgt = steady[:1] + [b"PANIC irrecoverable quorum loss qq17x"] + steady[1:]
+    _make_tar(f"{d}/tgt.tar.gz",
+              [("logs/job-output.txt", b"\n".join(tgt) + b"\n")])
+    out_dir = str(tmp_path / "cli_out")
+    cli.main([
+        "--out", out_dir, "--input-format", "tar",
+        "diff", f"{d}/base.tar.gz", f"{d}/tgt.tar.gz",
+    ])
+    anoms = spark.read.parquet(f"{out_dir}/anomalies").collect()
+    assert len(anoms) == 1 and "PANIC irrecoverable" in anoms[0].text
+    with open(f"{out_dir}/report.json") as f:
+        rep = json.load(f)
+    assert rep["total_anomaly_count"] == 1
