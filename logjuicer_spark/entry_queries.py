@@ -348,6 +348,31 @@ def q_tokenize(spark, sf_dir):
     return d.select("doc_id", tokenize_udf()(F.col("text")).alias("tokens"))
 
 
+def q_dedup_key(spark, sf_dir):
+    """F6/U the unordered dedup key (unordered.rs:9-22): sorted
+    non-%-prefixed words of the tokenized line, computed by the pipeline's
+    JVM expression. Tokens are staged; the oracle recomputes the key in
+    DuckDB from the identical tokens, so the JVM split/filter/sort/join
+    expression is value-verified independently."""
+    from .tokenizer import tokenize_udf
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _stage(
+        spark,
+        d.select("doc_id", tokenize_udf()(F.col("text")).alias("tokens")),
+        "dkey_tokens",
+    )
+    return toks.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(
+                F.filter(F.split("tokens", " "), lambda w: ~w.startswith("%"))
+            ),
+            " ",
+        ).alias("dkey"),
+    )
+
+
 def q_pipeline_anomalies(spark, sf_dir):
     """E1/E2 flagship: full diff run on the events-derived transcript table."""
     from . import pipeline
@@ -385,6 +410,7 @@ QUERIES = {
     "q_textstats": q_textstats,
     "q_ann_cosine": q_ann_cosine,
     "q_tokenize": q_tokenize,
+    "q_dedup_key": q_dedup_key,
     "q_pipeline_anomalies": q_pipeline_anomalies,
 }
 
@@ -788,6 +814,12 @@ ORACLE_SQL.update(
             " FROM j"
             " WHERE ROUND(len(list_filter(range(1,129), i -> sig_a[i] = sig_b[i])) / 128.0, 4)"
             "  >= 0.5"
+        ),
+        "q_dedup_key": (
+            f"SELECT doc_id, array_to_string(list_sort(list_filter("
+            f" string_split(tokens, ' '), w -> NOT starts_with(w, '%'))), ' ')"
+            f" AS dkey"
+            f" FROM read_parquet('{ORACLE_STAGE}/dkey_tokens.parquet/*.parquet')"
         ),
         "q_dedup_groups": (
             f"WITH RECURSIVE"
