@@ -94,8 +94,17 @@ def test_stateful_route_across_batches(spark):
         turn(6, "cache lookup for bucket maroon returned 9 entries with hit ratio stable behaviour"),
     ]
     gen.to_spark_df(spark, batch2).write.parquet(f"{in_dir}/b2")
-    q.processAllAvailable()
-    rows = spark.sql("select * from sanoms").collect()
+    # the file source lists the input dir asynchronously; under host load a
+    # single processAllAvailable can return before the b2 listing lands, so
+    # poll briefly (the data itself is deterministic)
+    rows = []
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        q.processAllAvailable()
+        rows = spark.sql("select * from sanoms").collect()
+        if rows:
+            break
+        time.sleep(0.5)
     q.stop()
     assert len(rows) == 1
     a = rows[0]
