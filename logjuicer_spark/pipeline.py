@@ -929,6 +929,7 @@ def from_archive_manifest(
     line_col: str = "line_nr",
     text_col: str = "text",
     fileset=None,
+    url_col: str | None = None,
 ) -> DataFrame:
     """S7 analog: an exploded archive manifest table
     (archive, entry, line_nr, text) -> TURNS.
@@ -939,18 +940,21 @@ def from_archive_manifest(
     the F1 fileset include/exclude predicate applies to the ENTRY path
     (is_fp_valid on the in-archive relative path), and the baseline
     IndexName derives from the entry path so equivalent entries across
-    archives share one index. Actual tar extraction happens upstream (a
-    distributed text engine consumes the exploded manifest, not opaque
-    tar bytes)."""
+    archives share one index. ``url_col`` (e.g. sources.read_tarballs'
+    ``entry_url`` with its ``&sub=`` nesting chain) overrides the conv-id
+    suffix while ``entry_col`` keeps driving the fileset check and the
+    IndexName — Source::TarFile carries (path, url) separately for exactly
+    this reason. Tar extraction itself lives in sources.read_tarballs; this
+    adapter also accepts pre-exploded manifests from upstream jobs."""
     from .indexname import index_name_udf
 
     df = manifest_df
     if fileset is not None:
         df = fileset.filter_sources(df, entry_col)
     return df.select(
-        F.concat(F.col(archive_col), F.lit("?entry="), F.col(entry_col)).alias(
-            "conv_id"
-        ),
+        F.concat(
+            F.col(archive_col), F.lit("?entry="), F.col(url_col or entry_col)
+        ).alias("conv_id"),
         F.col(line_col).cast("int").alias("turn_idx"),
         F.lit("log").alias("role"),
         F.col(text_col).alias("text"),

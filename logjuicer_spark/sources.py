@@ -36,7 +36,14 @@ import lzma
 from pyspark.sql import DataFrame, SparkSession
 
 FILE_LINES_SCHEMA = "source string, line_nr int, text string"
-TAR_LINES_SCHEMA = "archive string, entry string, line_nr int, text string"
+# entry = the member's OWN path at its nesting level (drives IndexName and
+# fileset checks, like Source::TarFile.path); entry_url = the full
+# `outer.tar&sub=inner` chain (drives the conv id, like the reference URL)
+TAR_LINES_SCHEMA = (
+    "archive string, entry string, entry_url string, line_nr int, text string"
+)
+
+_TAR_SUFFIXES = (".tar", ".tar.gz", ".tgz", ".tar.xz", ".tar.bz2")
 
 _DECOMPRESSORS = {
     ".gz": gzip.decompress,
@@ -78,31 +85,56 @@ def read_text_logs(
     return spark.createDataFrame(rdd.flatMap(explode), FILE_LINES_SCHEMA)
 
 
+def _walk_tar(archive: str, fileobj, url_prefix, is_fp_valid):
+    """Recursive tar traversal mirroring with_tarball_source
+    (source.rs:95-161): per-LEVEL fileset check on the member's own path,
+    nested tarballs recursed with a ``&sub=`` URL chain, compressed leaf
+    entries decompressed. Members are streamed; a nested archive is
+    buffered for its own traversal."""
+    import io
+    import tarfile
+
+    with tarfile.open(fileobj=fileobj, mode="r:*") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            if is_fp_valid is not None and not is_fp_valid(name):
+                continue
+            f = tf.extractfile(member)
+            if f is None:
+                continue
+            entry_url = name if url_prefix is None else f"{url_prefix}&sub={name}"
+            if name.endswith(_TAR_SUFFIXES):
+                yield from _walk_tar(
+                    archive, io.BytesIO(f.read()), entry_url, is_fp_valid
+                )
+            else:
+                raw = _maybe_decompress(name, f.read())
+                for i, line in enumerate(_split_lines(raw), 1):
+                    yield (archive, name, entry_url, i, line)
+
+
 def read_tarballs(
-    spark: SparkSession, path_glob: str, min_partitions: int | None = None
+    spark: SparkSession,
+    path_glob: str,
+    min_partitions: int | None = None,
+    is_fp_valid=None,
 ) -> DataFrame:
-    """(archive, entry, line_nr, text) rows for every regular-file entry of
-    every tarball under the glob (tar / tar.gz / tar.xz / tar.bz2 via
-    ``tarfile`` auto-detection; compressed ENTRIES are decompressed too).
-    One archive per task; members streamed sequentially
-    (source.rs:95-161 semantics — each entry is its own source)."""
+    """(archive, entry, entry_url, line_nr, text) rows for every regular
+    leaf entry of every tarball under the glob (tar / tar.gz / tar.xz /
+    tar.bz2 via ``tarfile`` auto-detection; NESTED tarballs are traversed
+    with the reference's ``&sub=`` URL chaining; compressed entries are
+    decompressed). One archive per task; ``is_fp_valid`` (e.g.
+    FileSetConfig.is_fp_valid) prunes members — including whole nested
+    archives — at each level, like the reference's in-traversal check."""
     rdd = spark.sparkContext.binaryFiles(path_glob, min_partitions or 2)
 
     def explode(kv):
         import io
-        import tarfile
 
         path, data = kv
-        with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
-            for member in tf:
-                if not member.isfile():
-                    continue
-                f = tf.extractfile(member)
-                if f is None:
-                    continue
-                raw = _maybe_decompress(member.name, f.read())
-                for i, line in enumerate(_split_lines(raw), 1):
-                    yield (path, member.name, i, line)
+        yield from _walk_tar(path, io.BytesIO(data), None, is_fp_valid)
 
     return spark.createDataFrame(rdd.flatMap(explode), TAR_LINES_SCHEMA)
 
@@ -115,7 +147,14 @@ def turns_from_files(spark: SparkSession, path_glob: str, fileset=None) -> DataF
 
 
 def turns_from_tarballs(spark: SparkSession, path_glob: str, fileset=None) -> DataFrame:
-    """Tarballs -> TURNS (conversation per ``archive?entry=`` source)."""
+    """Tarballs -> TURNS (conversation per ``archive?entry=`` source, with
+    ``&sub=`` chains for nested archives). The fileset check runs per
+    traversal level on each member's own path (reference semantics), so
+    the manifest adapter gets pre-filtered rows."""
     from .pipeline import from_archive_manifest
 
-    return from_archive_manifest(read_tarballs(spark, path_glob), fileset=fileset)
+    pred = fileset.is_fp_valid if fileset is not None else None
+    return from_archive_manifest(
+        read_tarballs(spark, path_glob, is_fp_valid=pred),
+        url_col="entry_url",
+    )

@@ -64,15 +64,15 @@ def test_read_tarballs_entries_and_inner_compression(spark, tmp_path):
         mode="w:xz",
     )
     rows = sorted(
-        (r.archive.rsplit("/", 1)[-1], r.entry, r.line_nr, r.text)
+        (r.archive.rsplit("/", 1)[-1], r.entry, r.entry_url, r.line_nr, r.text)
         for r in sources.read_tarballs(spark, f"{d}/*").collect()
     )
     assert rows == [
-        ("build-1.tar.gz", "logs/job-output.txt", 1, "task one ok"),
-        ("build-1.tar.gz", "logs/job-output.txt", 2, "task two FAILED"),
-        ("build-1.tar.gz", "logs/service.log.gz", 1, "svc started"),
-        ("build-1.tar.gz", "logs/service.log.gz", 2, "svc stopped"),
-        ("build-2.tar.xz", "controller/messages", 1, "kernel says hi"),
+        ("build-1.tar.gz", "logs/job-output.txt", "logs/job-output.txt", 1, "task one ok"),
+        ("build-1.tar.gz", "logs/job-output.txt", "logs/job-output.txt", 2, "task two FAILED"),
+        ("build-1.tar.gz", "logs/service.log.gz", "logs/service.log.gz", 1, "svc started"),
+        ("build-1.tar.gz", "logs/service.log.gz", "logs/service.log.gz", 2, "svc stopped"),
+        ("build-2.tar.xz", "controller/messages", "controller/messages", 1, "kernel says hi"),
     ]
 
 
@@ -149,3 +149,48 @@ def test_cli_diff_over_tarballs(spark, tmp_path):
     with open(f"{out_dir}/report.json") as f:
         rep = json.load(f)
     assert rep["total_anomaly_count"] == 1
+
+
+
+def test_read_tarballs_nested_archives(spark, tmp_path):
+    """A tarball inside a tarball: entries surface with the reference's
+    `&sub=` URL chain (source.rs:141-145), IndexName-bearing `entry` stays
+    the member's own path, and the per-level fileset check can prune a
+    whole nested archive."""
+    import io as _io
+
+    d = str(tmp_path / "nested")
+    os.makedirs(d)
+    inner = _io.BytesIO()
+    with tarfile.open(fileobj=inner, mode="w:gz") as tf:
+        payload = b"inner service line\n"
+        info = tarfile.TarInfo(name="logs/inner.log")
+        info.size = len(payload)
+        tf.addfile(info, _io.BytesIO(payload))
+    _make_tar(
+        f"{d}/outer.tar.gz",
+        [
+            ("top.log", b"top level line\n"),
+            ("bundle/inner.tar.gz", inner.getvalue()),
+        ],
+    )
+    rows = sorted(
+        (r.entry, r.entry_url, r.text)
+        for r in sources.read_tarballs(spark, f"{d}/*").collect()
+    )
+    assert rows == [
+        ("logs/inner.log", "bundle/inner.tar.gz&sub=logs/inner.log",
+         "inner service line"),
+        ("top.log", "top.log", "top level line"),
+    ]
+    # conv ids carry the chain through the adapter
+    convs = sorted(
+        r.conv_id for r in sources.turns_from_tarballs(spark, f"{d}/*").collect()
+    )
+    assert convs[0].endswith("outer.tar.gz?entry=bundle/inner.tar.gz&sub=logs/inner.log")
+    assert convs[1].endswith("outer.tar.gz?entry=top.log")
+    # pruning the nested archive path skips its whole subtree
+    got = sources.read_tarballs(
+        spark, f"{d}/*", is_fp_valid=lambda p: "inner.tar" not in p
+    ).collect()
+    assert [r.entry for r in got] == ["top.log"]
