@@ -416,20 +416,91 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) 
     return out
 
 
-def _route_single(enriched: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def _route_single(
+    enriched: DataFrame, cfg: PipelineConfig, clean_split: bool = True
+) -> DataFrame:
     """One conversation per task (the common case: conversations are far
-    smaller than cfg.max_task_lines)."""
+    smaller than cfg.max_task_lines).
+
+    Anomaly-free conversations never enter Python — and never shuffle:
+    the ids of conversations containing an anomalous target row (a TINY
+    dim: anomalies are rare by definition) are aggregated first; clean
+    rows then take a broadcast ANTI-join plus a pure-column select
+    (exactly _assemble_conv's fast path — route = known ? normal :
+    unknown, score kept on known target rows, no contexts), which is
+    map-only: no conv_id exchange, no sort, no Arrow. Only the dirty
+    conversations' rows (broadcast semi-join) ship into the pandas
+    context walk. Measured at 16M turns/local[32] the Arrow round-trip
+    was ~83% of the route stage's wall (identity-pandas control 19.8s vs
+    1.3s JVM floor, BENCH.md). The price is re-evaluating the upstream
+    plan per branch (dim + clean + dirty) — map-side-only passes that
+    cost far less than the exchange+sort+Arrow they remove. If the dirty
+    dim exceeds the broadcast guard (an anomaly-dense corpus, where the
+    split cannot win) the classic single-pass all-pandas route runs
+    instead."""
     threshold = cfg.threshold
     parse_ts = cfg.parse_timestamps
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _assemble_conv(pdf, threshold, parse_ts)
 
-    return (
-        enriched.select(*_ROUTE_COLS)
+    sel = enriched.select(*_ROUTE_COLS)
+    if not clean_split:
+        # small cached inputs: the Arrow round-trip is sub-second, so the
+        # stats job + per-branch re-evaluation cost more than they save
+        return sel.groupBy("conv_id").applyInPandas(fn, schema=ROUTED)
+    anom_row = (
+        F.col("is_known")
+        & F.col("is_target")
+        & (F.coalesce(F.col("score"), F.lit(0.0)) > float(np.float32(threshold)))
+    )
+    # one map-side-combining stats pass decides the strategy: the dirty
+    # CONV FRACTION matters, not just broadcastability — a dim that covers
+    # most conversations (anomaly-dense corpus) makes the split pay three
+    # plan passes for nothing. HLL approximation is fine here: 0 is exact
+    # (empty set), and the fraction/guard comparisons tolerate a few %.
+    stats = sel.agg(
+        F.approx_count_distinct(
+            F.when(anom_row, F.col("conv_id"))
+        ).alias("dirty"),
+        F.approx_count_distinct("conv_id").alias("total"),
+    ).first()
+    n_dirty, n_convs = int(stats["dirty"]), int(stats["total"])
+
+    clean_cols = [
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("sub_idx"),
+        F.col("role"),
+        F.col("tool"),
+        (F.lit(None).cast("timestamp") if parse_ts else F.col("ts")).alias("ts"),
+        F.col("text"),
+        F.when(F.col("is_known"), F.lit("normal"))
+        .otherwise(F.lit("unknown"))
+        .alias("route"),
+        F.when(F.col("is_target") & F.col("is_known"), F.col("score"))
+        .cast("float")
+        .alias("score"),
+        F.lit(None).cast("array<string>").alias("before"),
+        F.lit(None).cast("array<string>").alias("after"),
+    ]
+    if n_dirty == 0:
+        return sel.select(*clean_cols)
+    if n_dirty >= _BROADCAST_SCORED_ROWS or n_dirty > 0.2 * n_convs:
+        # anomaly-dense: most conversations need the walk anyway (or the
+        # dim exceeds the broadcast guard) — single pass through pandas
+        return sel.groupBy("conv_id").applyInPandas(fn, schema=ROUTED)
+    dirty_dim = sel.filter(anom_row).select("conv_id").distinct()
+    dim = F.broadcast(dirty_dim.select(F.col("conv_id").alias("_d_conv")))
+    clean_out = sel.join(
+        dim, sel["conv_id"] == F.col("_d_conv"), "left_anti"
+    ).select(*clean_cols)
+    dirty = (
+        sel.join(dim, sel["conv_id"] == F.col("_d_conv"), "left_semi")
         .groupBy("conv_id")
         .applyInPandas(fn, schema=ROUTED)
     )
+    return clean_out.unionByName(dirty)
 
 
 def route(
@@ -437,6 +508,7 @@ def route(
     cfg: PipelineConfig = PipelineConfig(),
     conv_sizes: DataFrame | None = None,
     allow_split: bool = True,
+    clean_split: bool = True,
 ) -> DataFrame:
     """Per-conversation context assembly + fan-out labels.
 
@@ -448,7 +520,7 @@ def route(
     does not re-evaluate the enrich plan; allow_split=False skips the probe
     entirely (used for inputs already known to be small)."""
     if not allow_split or cfg.max_task_lines is None:
-        return _route_single(enriched, cfg)
+        return _route_single(enriched, cfg, clean_split=clean_split)
     if cfg.parse_timestamps:
         # range splitting is undefined in parse-timestamp mode (W3 LastTS
         # state crosses chunk boundaries unbounded — route_split raises), so
@@ -461,7 +533,7 @@ def route(
             "guard (max_task_lines=%s); oversized conversations run as "
             "single tasks", cfg.max_task_lines,
         )
-        return _route_single(enriched, cfg)
+        return _route_single(enriched, cfg, clean_split=clean_split)
     if conv_sizes is None:
         conv_sizes = enriched.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
     big_ids = [
@@ -471,10 +543,12 @@ def route(
         .collect()
     ]
     if not big_ids:
-        return _route_single(enriched, cfg)
+        return _route_single(enriched, cfg, clean_split=clean_split)
     small = enriched.filter(~F.col("conv_id").isin(big_ids))
     big = enriched.filter(F.col("conv_id").isin(big_ids))
-    return _route_single(small, cfg).unionByName(route_split(big, cfg))
+    return _route_single(small, cfg, clean_split=clean_split).unionByName(
+        route_split(big, cfg)
+    )
 
 
 # ------------------------- intra-conversation range splitting -------------
@@ -819,7 +893,9 @@ def run(
             # executor cache beats a write+commit+rescan. Materialize BEFORE
             # releasing the upstream caches or the route job would recompute
             # uncached.
-            routed = route(enriched, cfg, allow_split=False).persist()
+            routed = route(
+                enriched, cfg, allow_split=False, clean_split=False
+            ).persist()
             routed.count()
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -22,9 +22,11 @@ def _plan(df):
 
 
 def test_bucketed_route_has_no_exchange(spark, tmp_path):
+    # anomalous rows: the dirty branch (pandas walk) must engage, so the
+    # groupBy's distribution requirement is what the plan shows
     rows = [
         (f"c{i % 10}", i, 0, "log", "bash", None, f"line {i}",
-         False, True, True, 0.1, True)
+         False, True, True, 0.9, True)
         for i in range(200)
     ]
     df = spark.createDataFrame(rows, SCHEMA)
@@ -36,9 +38,29 @@ def test_bucketed_route_has_no_exchange(spark, tmp_path):
         bucketed = spark.table("lj_enriched_bucketed")
         routed_b = pipeline._route_single(bucketed, pipeline.PipelineConfig())
         routed_u = pipeline._route_single(df, pipeline.PipelineConfig())
-        assert "Exchange" not in _plan(routed_b)      # bucket files feed tasks
-        assert "Exchange" in _plan(routed_u)          # control: shuffle present
+        # shuffle exchanges only (the dirty-conv dim is a BroadcastExchange
+        # by design, which must not count)
+        assert "Exchange hashpartitioning" not in _plan(routed_b)
+        assert "Exchange hashpartitioning" in _plan(routed_u)
         # and the shuffle-free plan still computes the right thing
         assert routed_b.count() == 200
     finally:
         spark.sql("DROP TABLE IF EXISTS lj_enriched_bucketed")
+
+
+def test_clean_route_never_shuffles_or_enters_python(spark):
+    """Round-3 route split: a corpus with no anomalous target rows routes
+    entirely JVM-side — no conv_id exchange, no pandas stage at all."""
+    rows = [
+        (f"c{i % 10}", i, 0, "log", "bash", None, f"line {i}",
+         False, i % 3 != 0, True, 0.1, True)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    routed = pipeline._route_single(df, pipeline.PipelineConfig())
+    plan = _plan(routed)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    got = {r.route for r in routed.collect()}
+    assert got == {"normal", "unknown"}
+    assert routed.count() == 200
