@@ -124,6 +124,20 @@ def main():
         spark.conf.set(k, v)
     spark.sql("DROP TABLE IF EXISTS lj_plans_bucketed_model")
 
+    # route with a sparse anomaly set: the clean branch must be a map-only
+    # select (no exchange, no python), the dirty branch a broadcast
+    # semi-join into the pandas walk
+    section(
+        "route (clean/dirty split: anomaly-free conversations stay JVM-side)",
+        "Watch for: the clean branch has NO Exchange hashpartitioning and "
+        "no FlatMapGroupsInPandas — a BroadcastHashJoin(LeftAnti) plus a "
+        "column select; only the dirty branch (broadcast LeftSemi) feeds "
+        "FlatMapGroupsInPandas. With zero anomalies the whole stage is "
+        "map-only.",
+        P.route(enriched, cfg, allow_split=False),
+    )
+    P.release_stage_caches()
+
     empty_routed = spark.createDataFrame(
         [],
         "conv_id string, turn_idx int, sub_idx int, role string, tool string, "
