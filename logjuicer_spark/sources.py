@@ -78,8 +78,17 @@ def read_text_logs(
     rdd = spark.sparkContext.binaryFiles(path_glob, min_partitions or 2)
 
     def explode(kv):
+        import logging
+
         path, data = kv
-        for i, line in enumerate(_split_lines(_maybe_decompress(path, data)), 1):
+        try:
+            lines = _split_lines(_maybe_decompress(path, data))
+        except Exception as e:  # corrupt codec stream: skip the FILE, not the job
+            # reference parity: with_source reports the error per source and
+            # continues with the remaining files (source.rs error callback)
+            logging.getLogger(__name__).warning("unreadable %s: %s", path, e)
+            return
+        for i, line in enumerate(lines, 1):
             yield (path, i, line)
 
     return spark.createDataFrame(rdd.flatMap(explode), FILE_LINES_SCHEMA)
@@ -92,9 +101,18 @@ def _walk_tar(archive: str, fileobj, url_prefix, is_fp_valid):
     entries decompressed. Members are streamed; a nested archive is
     buffered for its own traversal."""
     import io
+    import logging
     import tarfile
 
-    with tarfile.open(fileobj=fileobj, mode="r:*") as tf:
+    log = logging.getLogger(__name__)
+    try:
+        tf = tarfile.open(fileobj=fileobj, mode="r:*")
+    except Exception as e:  # corrupt archive: skip it, not the job
+        # reference parity: with_tarball_source reports per-archive errors
+        # and continues (source.rs:150-160 error callback)
+        log.warning("unreadable archive %s (%s): %s", archive, url_prefix, e)
+        return
+    with tf:
         for member in tf:
             if not member.isfile():
                 continue
@@ -110,7 +128,13 @@ def _walk_tar(archive: str, fileobj, url_prefix, is_fp_valid):
                     archive, io.BytesIO(f.read()), entry_url, is_fp_valid
                 )
             else:
-                raw = _maybe_decompress(name, f.read())
+                try:
+                    raw = _maybe_decompress(name, f.read())
+                except Exception as e:  # corrupt entry: skip the ENTRY
+                    log.warning(
+                        "unreadable entry %s in %s: %s", entry_url, archive, e
+                    )
+                    continue
                 for i, line in enumerate(_split_lines(raw), 1):
                     yield (archive, name, entry_url, i, line)
 

@@ -194,3 +194,30 @@ def test_read_tarballs_nested_archives(spark, tmp_path):
         spark, f"{d}/*", is_fp_valid=lambda p: "inner.tar" not in p
     ).collect()
     assert [r.entry for r in got] == ["top.log"]
+
+def test_corrupt_inputs_skip_not_crash(spark, tmp_path):
+    """Reference parity: a corrupt file / archive / entry is reported and
+    skipped; the remaining inputs still process (source.rs error callback
+    semantics — one bad build artifact must not kill the whole run)."""
+    d = str(tmp_path / "corrupt")
+    os.makedirs(d)
+    _write(f"{d}/good.log", b"healthy line\n")
+    _write(f"{d}/bad.log.gz", b"this is not gzip data at all")
+    rows = sources.read_text_logs(spark, f"{d}/*").collect()
+    assert [(r.source.rsplit("/", 1)[-1], r.text) for r in rows] == [
+        ("good.log", "healthy line")
+    ]
+
+    da = str(tmp_path / "corrupt_arch")
+    os.makedirs(da)
+    _make_tar(f"{da}/good.tar.gz", [("x.log", b"archive line\n")])
+    _write(f"{da}/bad.tar.gz", b"definitely not a tarball")
+    _make_tar(
+        f"{da}/mixed.tar.gz",
+        [("ok.log", b"fine\n"), ("broken.log.gz", b"not gzip either")],
+    )
+    rows = sources.read_tarballs(spark, f"{da}/*").collect()
+    assert sorted((r.archive.rsplit("/", 1)[-1], r.entry, r.text) for r in rows) == [
+        ("good.tar.gz", "x.log", "archive line"),
+        ("mixed.tar.gz", "ok.log", "fine"),
+    ]
