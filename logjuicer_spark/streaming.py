@@ -39,8 +39,12 @@ def score_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         parsed = parse(batch_df, cfg)
-        # micro-batches are bounded by the trigger; skip the size probe
-        routed = route(enrich(parsed, bc, cfg), cfg, allow_split=False)
+        # micro-batches are bounded by the trigger; skip the size probe AND
+        # the clean/dirty route split (its stats job costs more than the
+        # sub-second Arrow volume of a micro-batch saves)
+        routed = route(
+            enrich(parsed, bc, cfg), cfg, allow_split=False, clean_split=False
+        )
         (
             routed.withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("append")
