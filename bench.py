@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # per-process oracle staging dir (some queries stage intermediates):
+    # a bench running next to an oracle gate must not race on the files
+    os.environ.setdefault("LJ_ORACLE_STAGE", f"/tmp/lj_oracle_{os.getpid()}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -21,15 +21,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Staging area for UDF-produced intermediates (minhash/simhash signatures,
 # media payloads, ...) so the DuckDB oracle can verify the RELATIONAL part
 # of a UDF-bearing query (banding, bucket joins, aggregation) over the exact
-# same rows via read_parquet. The path is namespaced per process (pid) so
-# concurrent oracle/bench invocations don't overwrite each other's staged
-# parquet between the query's write and DuckDB's read; oracle_sql() strings
-# embed the path at import time, so the Spark query and the DuckDB replay in
-# the same process always agree. LJ_ORACLE_STAGE overrides for cross-process
-# setups.
+# same rows via read_parquet. The DEFAULT path is fixed so that a harness
+# which runs queries() in one process and replays oracle_sql() strings in
+# another still lines up (the strings embed the path at import time).
+# Concurrent invocations racing on the staged files set LJ_ORACLE_STAGE to
+# disjoint dirs — scripts/check_oracle.py and bench.py namespace themselves
+# per pid; a single sequential run (the driver's gate) needs nothing.
 import os as _os
 
-ORACLE_STAGE = _os.environ.get("LJ_ORACLE_STAGE", f"/tmp/lj_oracle_{_os.getpid()}")
+ORACLE_STAGE = _os.environ.get("LJ_ORACLE_STAGE", "/tmp/lj_oracle")
 
 
 def _stage(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:

@@ -91,6 +91,8 @@ def train_centroids_distributed(
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        raise ValueError("train_centroids_distributed: no embeddings to train on")
     cent = np.array([r[0] for r in rows], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     vec = emb.select(F.col(vec_col).alias("v")).persist()
@@ -117,7 +119,13 @@ def train_centroids_distributed(
                     {"cell": range(len(c)), "n": cnt, "psum": list(acc)}
                 )
 
-            parts = vec.mapInPandas(part_sums, schema).toPandas()
+            try:
+                parts = vec.mapInPandas(part_sums, schema).toPandas()
+            finally:
+                # each round's codebook broadcast is dead once its pass
+                # finishes; long sessions training many codebooks must not
+                # accumulate them in the broadcast manager
+                bc.unpersist(blocking=False)
             new = cent.copy()
             for cell, g in parts.groupby("cell"):
                 n = int(g["n"].sum())

@@ -163,7 +163,10 @@ def minhash_dedup_groups(
     2-3 rounds while a chain of diameter d needs d rounds (label distance
     shrinks by >=1 hop per round). If max_iters trips first the residual
     changed-label count is LOGGED (no silent split groups — the repo's
-    "no silent caps" rule). Returns (id, keep_id)."""
+    "no silent caps" rule). Returns (id, keep_id) — backed by the final
+    round's materialized localCheckpoint (bounded by |ids|): the caller
+    consumes it, so it cannot be unpersisted here without severing the
+    truncated lineage."""
     import logging
 
     edges = pairs.select("id_a", "id_b")
@@ -173,41 +176,43 @@ def minhash_dedup_groups(
         .toDF("id", "nbr")
         .persist()
     )
-    sym.count()  # materialize once; every round re-reads it
-    changed = None
-    prev = None
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
-            .groupBy("id")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # localCheckpoint (not persist): labels feeds BOTH the propagate join
-        # and the min-combine, so without truncation the logical plan doubles
-        # every round — exponential analysis cost long before any data moves
-        prop = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.col("label").alias("_old"),
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+    try:
+        sym.count()  # materialize once; every round re-reads it
+        changed = None
+        prev = None
+        for _ in range(max_iters):
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+                .groupBy("id")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()
-        )
-        changed = prop.filter(F.col("label") < F.col("_old")).count()
-        if prev is not None:
-            prev.unpersist()
-        prev = prop
-        labels = prop.drop("_old")
-        if changed == 0:
-            break
+            # localCheckpoint (not persist): labels feeds BOTH the propagate join
+            # and the min-combine, so without truncation the logical plan doubles
+            # every round — exponential analysis cost long before any data moves
+            prop = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.col("label").alias("_old"),
+                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = prop.filter(F.col("label") < F.col("_old")).count()
+            if prev is not None:
+                prev.unpersist()
+            prev = prop
+            labels = prop.drop("_old")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
     if changed:
         logging.getLogger(__name__).warning(
             "minhash_dedup_groups: label propagation did not converge in "
             "%d rounds (%d labels still moving) — some groups may be split; "
             "raise max_iters for longer chains", max_iters, changed,
         )
-    sym.unpersist()
     return labels.withColumnRenamed("label", "keep_id")
 
 

@@ -85,8 +85,11 @@ def run_routed_with_resume(
     if _bucket_filter is not None:
         todo = todo.filter(F.col("bucket").isin(list(_bucket_filter)))
 
+    # clean_split=False: the enriched input here is not checkpointed, so
+    # the split's stats pass + per-branch evaluation would re-run the whole
+    # upstream DAG several times per resumed bucket batch
     routed = route(
-        todo.drop("bucket"), cfg, conv_sizes=conv_sizes
+        todo.drop("bucket"), cfg, conv_sizes=conv_sizes, clean_split=False
     ).withColumn("bucket", bucket_col(n_buckets))
     routed.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/routed")
     lineage_rows(routed, run_id, "route").write.mode("append").parquet(

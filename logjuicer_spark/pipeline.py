@@ -250,11 +250,14 @@ def enrich(
         if model_df is None:
             raise ValueError("enrich needs bc_indexes or model_df")
         # distributed-model path: the group dim is unbounded in principle, so
-        # never collect it — probe single-index with a limit(2) count and tag
-        # membership via a broadcast join on the dim (a million-group model
-        # would bloat an isin predicate into the plan itself)
-        groups = model_df.select("group_key").distinct()
-        single_index = groups.limit(2).count() == 1  # model.rs:857-869
+        # never collect it — tag membership via a broadcast join on the dim
+        # (a million-group model would bloat an isin predicate into the plan
+        # itself). The dim is PERSISTED: its lineage is the whole train DAG,
+        # which the single-index probe and every broadcast build downstream
+        # would otherwise re-run per action (released with the stage caches).
+        groups = model_df.select("group_key").distinct().persist()
+        _SCORED_REFS.append(groups)
+        single_index = groups.count() == 1  # model.rs:857-869
         if single_index:
             parsed = parsed.withColumn("is_known", F.lit(True))
         else:
@@ -797,11 +800,13 @@ def run(
 ) -> dict[str, DataFrame]:
     """Full diff-style run (E1/E2): train (or load) then report.
 
-    ``input_rows``: caller-known upper bound on the target row count. When
-    the caller already knows it (a parquet footer count, a cached view's
-    count), passing it skips the limit-probe job — which otherwise
-    re-evaluates the target's whole upstream plan (windows, joins) just to
-    decide the small-input fast path.
+    ``input_rows``: caller-known upper bound on BOTH the target and the
+    baseline row counts (e.g. the total row count of the table both were
+    sliced from — a parquet footer count, a cached view's count). Passing
+    it skips the limit-probe jobs — which otherwise re-evaluate the
+    inputs' upstream plans (windows, joins) just to decide the small-input
+    fast path and whether the driver-side trainer may collect the
+    baseline.
 
     Stage outputs (parsed, routed) are checkpointed to ``work_dir`` as
     parquet: parsed feeds three plan branches (winner aggregation, join
@@ -874,13 +879,43 @@ def run(
                 if model_df is None:
                     if baseline_turns is None:
                         raise ValueError("need baseline_turns or model_df")
-                    # small-input trainer: one collect job, model built on
-                    # the driver (train_collected docstring) — the parsed
-                    # baseline has exactly one consumer here, so no persist
-                    indexes, model_df = model_mod.train_collected(
-                        spark, parse(baseline_turns, cfg), group_col=cfg.group_col
-                    )
-                    bc = model_mod.broadcast_indexes(spark, indexes)
+                    # a small TARGET does not bound the BASELINE: the
+                    # driver-side trainer collects the whole parsed
+                    # baseline, so guard its size first (when input_rows
+                    # was supplied it bounds both sides — see docstring —
+                    # and the probe is skipped)
+                    if input_rows is not None:
+                        baseline_small = True
+                    else:
+                        try:
+                            baseline_small = (
+                                baseline_turns.limit(small_input_rows + 1).count()
+                                <= small_input_rows
+                            )
+                        except Exception:
+                            baseline_small = False
+                    if baseline_small:
+                        # small-input trainer: one collect job, model built
+                        # on the driver (train_collected docstring) — the
+                        # parsed baseline has one consumer here, so no
+                        # persist; the collect is bounded by
+                        # small_input_rows, so the model nnz budget (which
+                        # guards unbounded collects) does not apply
+                        indexes, model_df = model_mod.train_collected(
+                            spark, parse(baseline_turns, cfg),
+                            group_col=cfg.group_col,
+                        )
+                        bc = model_mod.broadcast_indexes(spark, indexes)
+                    else:
+                        # big baseline: distributed trainer + the
+                        # nnz-budgeted collect with its distributed-scoring
+                        # fallback, exactly like the big path
+                        parsed_b = parse(baseline_turns, cfg).persist()
+                        caches.append(parsed_b)
+                        model_df = model_mod.train(
+                            parsed_b, group_col=cfg.group_col
+                        )
+                        bc = _broadcast_or_none(spark, model_df)
                 else:
                     bc = _broadcast_or_none(spark, model_df)
                 mat_fut.result()

@@ -70,17 +70,26 @@ def _split_lines(data: bytes):
 
 
 def read_text_logs(
-    spark: SparkSession, path_glob: str, min_partitions: int | None = None
+    spark: SparkSession,
+    path_glob: str,
+    min_partitions: int | None = None,
+    is_fp_valid=None,
 ) -> DataFrame:
     """(source, line_nr, text) rows for every log file under the glob;
     .gz/.xz/.bz2 files are decompressed (source keeps the original path —
-    IndexName strips the suffix downstream, index_name.rs:165-177)."""
+    IndexName strips the suffix downstream, index_name.rs:165-177).
+    ``is_fp_valid`` (e.g. FileSetConfig.is_fp_valid) prunes excluded paths
+    BEFORE decompression/decoding — the default exclude list is full of
+    binary formats (.png, .jar, .sqlite, ...) that would otherwise be
+    gunzipped and exploded into garbage lines only to be filtered later."""
     rdd = spark.sparkContext.binaryFiles(path_glob, min_partitions or 2)
 
     def explode(kv):
         import logging
 
         path, data = kv
+        if is_fp_valid is not None and not is_fp_valid(path):
+            return
         try:
             lines = _split_lines(_maybe_decompress(path, data))
         except Exception as e:  # corrupt codec stream: skip the FILE, not the job
@@ -164,10 +173,12 @@ def read_tarballs(
 
 
 def turns_from_files(spark: SparkSession, path_glob: str, fileset=None) -> DataFrame:
-    """Log files -> TURNS (conversation per file, tool per IndexName)."""
+    """Log files -> TURNS (conversation per file, tool per IndexName). The
+    fileset check runs inside the reader, before any decode work."""
     from .pipeline import from_log_table
 
-    return from_log_table(read_text_logs(spark, path_glob), fileset=fileset)
+    pred = fileset.is_fp_valid if fileset is not None else None
+    return from_log_table(read_text_logs(spark, path_glob, is_fp_valid=pred))
 
 
 def turns_from_tarballs(spark: SparkSession, path_glob: str, fileset=None) -> DataFrame:

@@ -13,6 +13,10 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# namespace the oracle staging dir per process BEFORE entry_queries builds
+# its SQL strings: concurrent local gates must not race on staged parquet
+os.environ.setdefault("LJ_ORACLE_STAGE", f"/tmp/lj_oracle_{os.getpid()}")
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

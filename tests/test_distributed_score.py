@@ -32,11 +32,41 @@ def test_run_falls_back_to_distributed_scoring(spark, corpus, monkeypatch):
     t = spark.read.parquet(f"{d}/target")
     want = _snap(pipeline.run(spark, t, baseline_turns=b))
     assert [(c, i) for c, i, _ in want] == expected
-    # force the driver-collect budget to zero: run() must fall back to the
-    # join formulation and produce the same anomalies and scores
+    # force the driver-collect budget to zero ON THE BIG PATH
+    # (small_input_rows=0 — the small path's driver trainer is bounded by
+    # construction and exempt from the nnz budget): run() must fall back
+    # to the join formulation and produce the same anomalies and scores
     monkeypatch.setenv("LOGJUICER_MAX_MODEL_NNZ", "0")
-    got = _snap(pipeline.run(spark, t, baseline_turns=b))
+    got = _snap(pipeline.run(spark, t, baseline_turns=b, small_input_rows=0))
     assert got == want
+
+
+def test_small_target_big_baseline_guard(spark, corpus, monkeypatch):
+    """A small TARGET must not let an over-threshold BASELINE be collected
+    by the driver-side trainer: the small path probes the baseline and
+    takes the distributed trainer + budgeted collect instead (round-3
+    review fix). With the budget forced to zero this also exercises the
+    distributed-scoring fallback from inside the small path."""
+    d, expected = corpus
+    b = spark.read.parquet(f"{d}/baseline")
+    t = spark.read.parquet(f"{d}/target")
+    want = _snap(pipeline.run(spark, t, baseline_turns=b))
+    calls = []
+    orig = M.train_collected
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(M, "train_collected", spy)
+    # baseline row count exceeds this threshold while the target fits: the
+    # driver-side trainer must NOT run
+    n_b = b.count()
+    assert n_b > 60  # corpus sanity
+    monkeypatch.setenv("LOGJUICER_MAX_MODEL_NNZ", "0")
+    got = _snap(pipeline.run(spark, t, baseline_turns=b, small_input_rows=60))
+    assert got == want
+    assert calls == []  # distributed trainer path taken
 
 
 def test_scored_outputs_bit_close(spark, corpus):

@@ -221,3 +221,15 @@ def test_corrupt_inputs_skip_not_crash(spark, tmp_path):
         ("good.tar.gz", "x.log", "archive line"),
         ("mixed.tar.gz", "ok.log", "fine"),
     ]
+
+
+def test_turns_from_files_fileset_prunes_in_reader(spark, tmp_path):
+    d = str(tmp_path / "fsf")
+    _write(f"{d}/screen-api.txt", b"api says hello\n")
+    _write(f"{d}/other.txt", b"should be pruned\n")
+    turns = sources.turns_from_files(
+        spark, f"{d}/*", fileset=FileSetConfig(includes=("screen-",))
+    )
+    got = turns.collect()
+    assert len(got) == 1 and got[0].text == "api says hello"
+    assert got[0].conv_id.endswith("screen-api.txt")
