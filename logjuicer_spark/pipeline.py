@@ -420,7 +420,7 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) 
 
 
 def _route_single(
-    enriched: DataFrame, cfg: PipelineConfig, clean_split: bool = True
+    enriched: DataFrame, cfg: PipelineConfig, clean_split: bool = False
 ) -> DataFrame:
     """One conversation per task (the common case: conversations are far
     smaller than cfg.max_task_lines).
@@ -511,7 +511,7 @@ def route(
     cfg: PipelineConfig = PipelineConfig(),
     conv_sizes: DataFrame | None = None,
     allow_split: bool = True,
-    clean_split: bool = True,
+    clean_split: bool = False,
 ) -> DataFrame:
     """Per-conversation context assembly + fan-out labels.
 
@@ -830,16 +830,22 @@ def run(
     # write + re-scan), so fewer jobs win. When the caller didn't supply
     # input_rows, probe with a short-circuiting limit so big inputs pay
     # ~one split scan.
+    # the small path's session tuning (AQE off, clamped shuffle partitions)
+    # and its driver-side trainer are sized for SMALL inputs on BOTH sides:
+    # a small target with a big baseline must take the big path, whose
+    # checkpointing, default conf and nnz-budgeted collect handle it
+    def _probe_small(df):
+        try:
+            return df.limit(small_input_rows + 1).count() <= small_input_rows
+        except Exception:
+            return False
+
     if input_rows is not None:
         small = input_rows <= small_input_rows
     else:
-        try:
-            small = (
-                target_turns.limit(small_input_rows + 1).count()
-                <= small_input_rows
-            )
-        except Exception:
-            small = False
+        small = _probe_small(target_turns)
+        if small and model_df is None and baseline_turns is not None:
+            small = _probe_small(baseline_turns)
 
     if small:
         # persist the parsed stages in memory instead of parquet
@@ -879,43 +885,18 @@ def run(
                 if model_df is None:
                     if baseline_turns is None:
                         raise ValueError("need baseline_turns or model_df")
-                    # a small TARGET does not bound the BASELINE: the
-                    # driver-side trainer collects the whole parsed
-                    # baseline, so guard its size first (when input_rows
-                    # was supplied it bounds both sides — see docstring —
-                    # and the probe is skipped)
-                    if input_rows is not None:
-                        baseline_small = True
-                    else:
-                        try:
-                            baseline_small = (
-                                baseline_turns.limit(small_input_rows + 1).count()
-                                <= small_input_rows
-                            )
-                        except Exception:
-                            baseline_small = False
-                    if baseline_small:
-                        # small-input trainer: one collect job, model built
-                        # on the driver (train_collected docstring) — the
-                        # parsed baseline has one consumer here, so no
-                        # persist; the collect is bounded by
-                        # small_input_rows, so the model nnz budget (which
-                        # guards unbounded collects) does not apply
-                        indexes, model_df = model_mod.train_collected(
-                            spark, parse(baseline_turns, cfg),
-                            group_col=cfg.group_col,
-                        )
-                        bc = model_mod.broadcast_indexes(spark, indexes)
-                    else:
-                        # big baseline: distributed trainer + the
-                        # nnz-budgeted collect with its distributed-scoring
-                        # fallback, exactly like the big path
-                        parsed_b = parse(baseline_turns, cfg).persist()
-                        caches.append(parsed_b)
-                        model_df = model_mod.train(
-                            parsed_b, group_col=cfg.group_col
-                        )
-                        bc = _broadcast_or_none(spark, model_df)
+                    # small-input trainer: one collect job, model built on
+                    # the driver (train_collected docstring) — the parsed
+                    # baseline has one consumer here, so no persist. The
+                    # collect is bounded: the small decision above proved
+                    # BOTH sides under small_input_rows, so the model nnz
+                    # budget (which guards unbounded collects) is
+                    # inapplicable here.
+                    indexes, model_df = model_mod.train_collected(
+                        spark, parse(baseline_turns, cfg),
+                        group_col=cfg.group_col,
+                    )
+                    bc = model_mod.broadcast_indexes(spark, indexes)
                 else:
                     bc = _broadcast_or_none(spark, model_df)
                 mat_fut.result()
@@ -988,7 +969,8 @@ def run(
         allow_split = True
         conv_sizes = parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
     route(
-        enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split
+        enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split,
+        clean_split=True,
     ).write.mode("overwrite").parquet(f"{work_dir}/routed")
     release_stage_caches()
     routed = spark.read.parquet(f"{work_dir}/routed")

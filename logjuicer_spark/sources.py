@@ -79,10 +79,21 @@ def read_text_logs(
     .gz/.xz/.bz2 files are decompressed (source keeps the original path —
     IndexName strips the suffix downstream, index_name.rs:165-177).
     ``is_fp_valid`` (e.g. FileSetConfig.is_fp_valid) prunes excluded paths
-    BEFORE decompression/decoding — the default exclude list is full of
-    binary formats (.png, .jar, .sqlite, ...) that would otherwise be
-    gunzipped and exploded into garbage lines only to be filtered later."""
-    rdd = spark.sparkContext.binaryFiles(path_glob, min_partitions or 2)
+    BEFORE any read: for local globs the listing is expanded driver-side
+    and excluded files (the default exclude list is full of binary formats
+    — .png, .jar, .sqlite, ...) are never even opened; for remote schemes
+    the predicate still applies per task before decompression/decoding."""
+    src = path_glob
+    if is_fp_valid is not None and ("://" not in path_glob or path_glob.startswith("file:")):
+        import glob as _glob
+
+        listed = _glob.glob(path_glob.replace("file:", "", 1))
+        if listed:
+            kept = [p for p in listed if is_fp_valid(p)]
+            if not kept:
+                return spark.createDataFrame([], FILE_LINES_SCHEMA)
+            src = ",".join(kept)
+    rdd = spark.sparkContext.binaryFiles(src, min_partitions or 2)
 
     def explode(kv):
         import logging
@@ -122,24 +133,46 @@ def _walk_tar(archive: str, fileobj, url_prefix, is_fp_valid):
         log.warning("unreadable archive %s (%s): %s", archive, url_prefix, e)
         return
     with tf:
-        for member in tf:
+        members = iter(tf)
+        while True:
+            # the member ITERATOR itself can raise on a truncated archive
+            # (valid header, data cut short): stop THIS archive's traversal
+            # with a warning, keep everything already yielded and every
+            # other archive in the job (source.rs per-entry error callback)
+            try:
+                member = next(members)
+            except StopIteration:
+                break
+            except Exception as e:
+                log.warning(
+                    "truncated/corrupt archive %s (%s): %s",
+                    archive, url_prefix, e,
+                )
+                break
             if not member.isfile():
                 continue
             name = member.name
             if is_fp_valid is not None and not is_fp_valid(name):
                 continue
-            f = tf.extractfile(member)
-            if f is None:
-                continue
             entry_url = name if url_prefix is None else f"{url_prefix}&sub={name}"
+            try:
+                f = tf.extractfile(member)
+                if f is None:
+                    continue
+                payload = f.read()
+            except Exception as e:  # unreadable member data: skip the ENTRY
+                log.warning(
+                    "unreadable entry %s in %s: %s", entry_url, archive, e
+                )
+                continue
             if name.endswith(_TAR_SUFFIXES):
                 yield from _walk_tar(
-                    archive, io.BytesIO(f.read()), entry_url, is_fp_valid
+                    archive, io.BytesIO(payload), entry_url, is_fp_valid
                 )
             else:
                 try:
-                    raw = _maybe_decompress(name, f.read())
-                except Exception as e:  # corrupt entry: skip the ENTRY
+                    raw = _maybe_decompress(name, payload)
+                except Exception as e:  # corrupt entry codec: skip the ENTRY
                     log.warning(
                         "unreadable entry %s in %s: %s", entry_url, archive, e
                     )

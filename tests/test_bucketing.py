@@ -36,8 +36,12 @@ def test_bucketed_route_has_no_exchange(spark, tmp_path):
        .mode("overwrite").saveAsTable("lj_enriched_bucketed"))
     try:
         bucketed = spark.table("lj_enriched_bucketed")
-        routed_b = pipeline._route_single(bucketed, pipeline.PipelineConfig())
-        routed_u = pipeline._route_single(df, pipeline.PipelineConfig())
+        routed_b = pipeline._route_single(
+            bucketed, pipeline.PipelineConfig(), clean_split=True
+        )
+        routed_u = pipeline._route_single(
+            df, pipeline.PipelineConfig(), clean_split=True
+        )
         # shuffle exchanges only (the dirty-conv dim is a BroadcastExchange
         # by design, which must not count)
         assert "Exchange hashpartitioning" not in _plan(routed_b)
@@ -57,7 +61,9 @@ def test_clean_route_never_shuffles_or_enters_python(spark):
         for i in range(200)
     ]
     df = spark.createDataFrame(rows, SCHEMA)
-    routed = pipeline._route_single(df, pipeline.PipelineConfig())
+    routed = pipeline._route_single(
+        df, pipeline.PipelineConfig(), clean_split=True
+    )
     plan = _plan(routed)
     assert "FlatMapGroupsInPandas" not in plan
     assert "Exchange hashpartitioning" not in plan

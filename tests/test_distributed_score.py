@@ -41,16 +41,20 @@ def test_run_falls_back_to_distributed_scoring(spark, corpus, monkeypatch):
     assert got == want
 
 
-def test_small_target_big_baseline_guard(spark, corpus, monkeypatch):
+def test_small_target_big_baseline_guard(spark, monkeypatch):
     """A small TARGET must not let an over-threshold BASELINE be collected
-    by the driver-side trainer: the small path probes the baseline and
-    takes the distributed trainer + budgeted collect instead (round-3
-    review fix). With the budget forced to zero this also exercises the
-    distributed-scoring fallback from inside the small path."""
-    d, expected = corpus
-    b = spark.read.parquet(f"{d}/baseline")
-    t = spark.read.parquet(f"{d}/target")
-    want = _snap(pipeline.run(spark, t, baseline_turns=b))
+    by the driver-side trainer: run()'s small decision probes BOTH sides,
+    so a big baseline routes to the big path (distributed trainer +
+    budgeted collect). Also asserts the positive case: with both sides
+    small the driver trainer runs exactly once."""
+    b_rows, t_rows, _ = gen.generate_corpus(
+        n_baseline_convs=5, n_target_convs=1, turns_per_conv=30, seed=17
+    )
+    b = gen.to_spark_df(spark, b_rows)   # ~150 rows
+    t = gen.to_spark_df(spark, t_rows)   # ~30 rows
+    n_b, n_t = b.count(), t.count()
+    assert n_t <= 100 < n_b  # the scenario the test names must exist
+
     calls = []
     orig = M.train_collected
 
@@ -59,14 +63,14 @@ def test_small_target_big_baseline_guard(spark, corpus, monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(M, "train_collected", spy)
-    # baseline row count exceeds this threshold while the target fits: the
-    # driver-side trainer must NOT run
-    n_b = b.count()
-    assert n_b > 60  # corpus sanity
+    want = _snap(pipeline.run(spark, t, baseline_turns=b, small_input_rows=300))
+    assert calls == [1]  # both sides small: driver trainer ran once
+
+    calls.clear()
     monkeypatch.setenv("LOGJUICER_MAX_MODEL_NNZ", "0")
-    got = _snap(pipeline.run(spark, t, baseline_turns=b, small_input_rows=60))
-    assert got == want
-    assert calls == []  # distributed trainer path taken
+    got = _snap(pipeline.run(spark, t, baseline_turns=b, small_input_rows=100))
+    assert calls == []  # big baseline: big path, no driver collect
+    assert got == want  # ... and the budget-forced distributed fallback agrees
 
 
 def test_scored_outputs_bit_close(spark, corpus):

@@ -233,3 +233,28 @@ def test_turns_from_files_fileset_prunes_in_reader(spark, tmp_path):
     got = turns.collect()
     assert len(got) == 1 and got[0].text == "api says hello"
     assert got[0].conv_id.endswith("screen-api.txt")
+
+
+def test_truncated_tar_mid_iteration_skips_remainder(spark, tmp_path):
+    """An archive truncated after its first member (valid open, iterator
+    fails mid-walk) keeps what was read and does not fail the job."""
+    d = str(tmp_path / "trunc")
+    os.makedirs(d)
+    full = io.BytesIO()
+    with tarfile.open(fileobj=full, mode="w") as tf:  # uncompressed
+        p1 = b"first entry line\n"
+        i1 = tarfile.TarInfo(name="a.log"); i1.size = len(p1)
+        tf.addfile(i1, io.BytesIO(p1))
+        p2 = b"x" * 10240
+        i2 = tarfile.TarInfo(name="b.log"); i2.size = len(p2)
+        tf.addfile(i2, io.BytesIO(p2))
+    data = full.getvalue()
+    _write(f"{d}/cut.tar", data[: len(data) - 9000])  # cut inside member 2
+    _write(f"{d}/whole.tar", data)
+    rows = sources.read_tarballs(spark, f"{d}/*").collect()
+    got = sorted((r.archive.rsplit("/", 1)[-1], r.entry) for r in rows
+                 if r.entry == "a.log")
+    # the undamaged archive yields both entries; the cut one at least a.log
+    assert ("cut.tar", "a.log") in got and ("whole.tar", "a.log") in got
+    assert not any(r.archive.endswith("cut.tar") and r.entry == "b.log"
+                   and len(r.text) == 10240 for r in rows)
