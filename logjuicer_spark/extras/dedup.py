@@ -179,7 +179,6 @@ def minhash_dedup_groups(
     try:
         sym.count()  # materialize once; every round re-reads it
         changed = None
-        prev = None
         for _ in range(max_iters):
             nbr_min = (
                 sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
@@ -199,9 +198,12 @@ def minhash_dedup_groups(
                 .localCheckpoint()
             )
             changed = prop.filter(F.col("label") < F.col("_old")).count()
-            if prev is not None:
-                prev.unpersist()
-            prev = prop
+            # localCheckpoint blocks are NOT registered with the cache
+            # manager, so an explicit unpersist would be a no-op: dropping
+            # the reference to the previous round's DataFrame is the real
+            # release — the ContextCleaner reclaims its RDD blocks once the
+            # lineage no longer reaches them (only the FINAL round's blocks
+            # must outlive this function; the caller consumes them)
             labels = prop.drop("_old")
             if changed == 0:
                 break

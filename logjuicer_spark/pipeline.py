@@ -143,9 +143,15 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
         # F5: drop the marker line and everything after it, per conversation.
         # The marker dim has one row per conversation CONTAINING the marker —
         # usually rare, but a corpus where most conversations contain it makes
-        # the dim |convs|-sized, so the broadcast is count-guarded like the
-        # scored/global-dedup dims (below): under the threshold broadcast,
-        # above it fall back to a shuffle join instead of OOMing executors.
+        # the dim |convs|-sized, so no STATIC broadcast hint is placed: an
+        # unconditional hint could OOM executors, and a count-guard here would
+        # run a Spark job at plan-construction time (illegal under streaming
+        # composition, surprising for lazy callers — the same reasoning that
+        # made route()'s clean split opt-in). The join stays unhinted: with
+        # AQE on (the big path) runtime stats convert it to a broadcast join
+        # when the dim is small; with AQE off (the small path) the input is
+        # small by definition and the shuffle join is cheap. parse() runs
+        # ZERO Spark jobs at plan time (asserted by test_round3_fixes).
         marker_pos = (
             df.filter(F.col("text").contains(cfg.self_ref_marker))
             .groupBy(F.col("conv_id").alias("_m_conv"))
@@ -153,9 +159,6 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
                 F.min(F.struct("turn_idx", "sub_idx")).alias("_m"),
             )
         )
-        n_marked = marker_pos.count()
-        if n_marked < _BROADCAST_SCORED_ROWS:
-            marker_pos = F.broadcast(marker_pos)
         df = (
             df.join(marker_pos, df["conv_id"] == F.col("_m_conv"), "left")
             .filter(

@@ -52,6 +52,32 @@ _DECOMPRESSORS = {
 }
 
 
+def _escape_hadoop_glob(p: str) -> str:
+    """Hadoop's GlobPattern treats ``* ? [ ] { }`` as metacharacters (with
+    backslash escaping): a LISTED literal path handed back to binaryFiles
+    must not be re-expanded, or a file literally named ``a[1].log`` is
+    silently missed. Literal COMMAS would be split by setInputPaths' path
+    list (no escape exists at that layer) — but its splitter skips commas
+    inside braces, and GlobPattern accepts a backslash-escaped comma as a
+    one-option alternation, so ``c,v.log`` rides as ``c{\\,}v.log``."""
+    import re
+
+    return re.sub(r"([*?\[\]{}\\])", r"\\\1", p).replace(",", "{\\,}")
+
+
+def _plain_path(p: str) -> str:
+    """Spark reports binaryFiles paths in URI form (``file:/x``,
+    ``hdfs://host/x``); fileset include/exclude patterns are written
+    against plain paths (the form the driver-side glob listing checks).
+    Strip scheme+authority so an anchored pattern (``^/data/``) matches
+    the same string on both sides."""
+    if p.startswith("file:") or "://" in p:
+        from urllib.parse import urlparse
+
+        return urlparse(p).path or p
+    return p
+
+
 def _maybe_decompress(name: str, data: bytes) -> bytes:
     for ext, fn in _DECOMPRESSORS.items():
         if name.endswith(ext):
@@ -83,7 +109,9 @@ def read_text_logs(
     and excluded files (the default exclude list is full of binary formats
     — .png, .jar, .sqlite, ...) are never even opened; for remote schemes
     the predicate still applies per task before decompression/decoding."""
-    src = path_glob
+    sc = spark.sparkContext
+    minp = min_partitions or 2
+    pruned_driver_side = False
     if is_fp_valid is not None and ("://" not in path_glob or path_glob.startswith("file:")):
         import glob as _glob
 
@@ -92,14 +120,23 @@ def read_text_logs(
             kept = [p for p in listed if is_fp_valid(p)]
             if not kept:
                 return spark.createDataFrame([], FILE_LINES_SCHEMA)
-            src = ",".join(kept)
-    rdd = spark.sparkContext.binaryFiles(src, min_partitions or 2)
+            pruned_driver_side = True
+            rdd = sc.binaryFiles(
+                ",".join(_escape_hadoop_glob(p) for p in kept), minp
+            )
+    if not pruned_driver_side:
+        rdd = sc.binaryFiles(path_glob, minp)
+    # when the driver listing already pruned, the per-task recheck is
+    # redundant (and Spark's URI-form path would need normalizing); for
+    # remote schemes the predicate applies per task on the PLAIN path form
+    # — the same form the driver check sees — before any decode work
+    task_pred = None if pruned_driver_side else is_fp_valid
 
     def explode(kv):
         import logging
 
         path, data = kv
-        if is_fp_valid is not None and not is_fp_valid(path):
+        if task_pred is not None and not task_pred(_plain_path(path)):
             return
         try:
             lines = _split_lines(_maybe_decompress(path, data))

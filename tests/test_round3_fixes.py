@@ -181,7 +181,7 @@ def test_dedup_groups_logs_residual_when_bound_trips(spark, caplog):
 # ------------------------------------- 5. self-ref marker broadcast guard
 
 
-def test_self_ref_guard_fallback_identical(spark, monkeypatch):
+def test_self_ref_guard_fallback_identical(spark):
     rows = [
         {"conv_id": f"c{k}", "turn_idx": i, "role": "tool", "tool": "bash",
          "ts": None, "text": t}
@@ -201,10 +201,37 @@ def test_self_ref_guard_fallback_identical(spark, monkeypatch):
 
     want = snap()
     assert [t for _, _, _, t in want] == ["alpha 0", "alpha 1", "alpha 2"]
-    # guard threshold 0: the marker dim must take the shuffle-join fallback
-    # and produce the identical cut
-    monkeypatch.setattr(pipeline, "_BROADCAST_SCORED_ROWS", 0)
-    assert snap() == want
+    # AQE runtime stats (not a static hint) pick the join strategy, so the
+    # cut must be identical with AQE forced off (plain shuffle join)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert snap() == want
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_self_ref_parse_is_lazy(spark):
+    """round-4: parse() with self_ref_marker set must run ZERO Spark jobs
+    at plan-construction time (the round-3 count-guard fired a full input
+    scan per parse() call — illegal under streaming composition). Jobs
+    submitted from this thread during parse() would carry the job group."""
+    rows = [
+        {"conv_id": "c0", "turn_idx": 1, "role": "tool", "tool": "bash",
+         "ts": None, "text": "alpha"},
+        {"conv_id": "c0", "turn_idx": 2, "role": "tool", "tool": "bash",
+         "ts": None, "text": "TASK [run-logjuicer here]"},
+    ]
+    df = gen.to_spark_df(spark, rows)
+    cfg = pipeline.PipelineConfig(self_ref_marker="TASK [run-logjuicer")
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy_parse_probe", "plan construction must run no jobs")
+    try:
+        plan = pipeline.parse(df, cfg)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("lazy_parse_probe")) == []
+    # and the plan still evaluates correctly afterwards
+    assert [r.text for r in plan.collect()] == ["alpha"]
 
 
 # ------------------------------------- 7. small-input driver-side trainer

@@ -258,3 +258,38 @@ def test_truncated_tar_mid_iteration_skips_remainder(spark, tmp_path):
     assert ("cut.tar", "a.log") in got and ("whole.tar", "a.log") in got
     assert not any(r.archive.endswith("cut.tar") and r.entry == "b.log"
                    and len(r.text) == 10240 for r in rows)
+
+
+def test_glob_metachar_and_comma_filenames(spark, tmp_path):
+    """round-4 ADVICE: literal paths handed back to binaryFiles must be
+    escaped (Hadoop re-expands * ? [ ] { }) and comma-containing names
+    must not be split by the comma-joined path list."""
+    d = str(tmp_path / "odd")
+    _write(f"{d}/a[1].log", b"bracket line\n")
+    _write(f"{d}/b{{x}}.log", b"brace line\n")
+    _write(f"{d}/c,v1.log", b"comma line\n")
+    _write(f"{d}/plain.log", b"plain line\n")
+    _write(f"{d}/skip.png", b"\x89PNG")
+    fs = FileSetConfig()  # default excludes drop .png
+    rows = sorted(
+        (r.source.rsplit("/", 1)[-1], r.text)
+        for r in sources.read_text_logs(
+            spark, f"{d}/*", is_fp_valid=fs.is_fp_valid
+        ).collect()
+    )
+    assert rows == [
+        ("a[1].log", "bracket line"),
+        ("b{x}.log", "brace line"),
+        ("c,v1.log", "comma line"),
+        ("plain.log", "plain line"),
+    ]
+
+
+def test_plain_path_normalizes_spark_uri_forms():
+    """round-4 ADVICE: the executor-side fileset recheck must see the same
+    plain-path form the driver listing checked, or anchored patterns
+    (^/data/) silently drop files on remote schemes."""
+    assert sources._plain_path("file:/data/x.log") == "/data/x.log"
+    assert sources._plain_path("file:///data/x.log") == "/data/x.log"
+    assert sources._plain_path("hdfs://nn:8020/data/x.log") == "/data/x.log"
+    assert sources._plain_path("/data/x.log") == "/data/x.log"
