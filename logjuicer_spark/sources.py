@@ -8,18 +8,21 @@ TARBALLS whose entries are themselves log files:
 - tarball traversal: source.rs:95-161 (with_tarball_source): each regular
   file entry becomes its own source named ``archive?entry=path``
 
-Spark-first realization: ``binaryFiles`` gives (path, bytes) with one file
-per task — the right grain, because a log FILE is the conversation unit
-(its lines must stay together and ordered anyway, so "whole file in one
-task" is the partitioning the pipeline needs, not a compromise). Entries
-inside a tar are STREAMED member by member (tarfile reads sequentially),
-so peak memory per task is the archive plus its largest entry.
-Decompression (.gz/.xz/.bz2 — stdlib, no native codecs needed) applies to
-standalone files and to compressed entries inside archives, mirroring the
-reference's reader stack. Text is decoded UTF-8-lossy
-(String::from_utf8_lossy parity) and split like Rust ``BufRead::lines``
-(terminal newline dropped, per-line trailing \\r stripped); line numbers
-are 1-based.
+Spark-first realization: one file per task — the right grain, because a
+log FILE is the conversation unit (its lines must stay together and
+ordered anyway, so "whole file in one task" is the partitioning the
+pipeline needs, not a compromise). Plain log files ride ``binaryFiles``
+(path, bytes) — log files are line-record small. TARBALLS are never
+materialized as task bytes: each task opens its archive as a chunked
+file handle and tarfile STREAMS members sequentially ("r|*" mode), with
+nested archives opened as child tar streams over the member stream and
+compressed entries stream-decompressed, so peak memory per task is
+O(codec window + one line) regardless of archive size. Decompression
+(.gz/.xz/.bz2 — stdlib, no native codecs needed) applies to standalone
+files and to entries inside archives, mirroring the reference's reader
+stack. Text is decoded UTF-8-lossy (String::from_utf8_lossy parity) and
+split like Rust ``BufRead::lines`` (terminal newline dropped, per-line
+trailing \\r stripped); line numbers are 1-based.
 
 The outputs feed the existing adapters:
 ``pipeline.from_log_table(read_text_logs(...))`` and
@@ -31,6 +34,7 @@ from __future__ import annotations
 
 import bz2
 import gzip
+import io as _io
 import lzma
 
 from pyspark.sql import DataFrame, SparkSession
@@ -151,19 +155,73 @@ def read_text_logs(
     return spark.createDataFrame(rdd.flatMap(explode), FILE_LINES_SCHEMA)
 
 
+def _open_entry_stream(name: str, fobj):
+    """Wrap a tar member's stream in the matching STREAMING decompressor
+    (no one-shot bytes decompress): memory stays O(codec window), not
+    O(decompressed entry)."""
+    if name.endswith(".gz"):
+        return gzip.GzipFile(fileobj=fobj)
+    if name.endswith(".xz"):
+        return lzma.LZMAFile(fobj)
+    if name.endswith(".bz2"):
+        return bz2.BZ2File(fobj)
+    return fobj
+
+
+class _RawReadStream(_io.RawIOBase):
+    """io.RawIOBase adapter over a bare .read(n) object: tarfile's
+    stream-mode ExFileObject lacks the seekable()/readinto() surface
+    TextIOWrapper probes, so give it one (forward-read-only; RawIOBase
+    synthesizes chunked read() from readinto)."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        data = self._f.read(len(b))
+        n = len(data)
+        b[:n] = data
+        return n
+
+
+def _stream_lines(fobj):
+    """Rust BufRead::lines parity over a byte STREAM: incremental
+    UTF-8-lossy decode, split on \\n only (TextIOWrapper newline="\\n"
+    disables universal-newline translation), strip one trailing \\r per
+    line; memory is O(one line), matching the reference's reader loop."""
+    import io
+
+    txt = io.TextIOWrapper(
+        _RawReadStream(fobj), encoding="utf-8", errors="replace", newline="\n"
+    )
+    for line in txt:
+        if line.endswith("\n"):
+            line = line[:-1]
+        if line.endswith("\r"):
+            line = line[:-1]
+        yield line
+
+
 def _walk_tar(archive: str, fileobj, url_prefix, is_fp_valid):
     """Recursive tar traversal mirroring with_tarball_source
     (source.rs:95-161): per-LEVEL fileset check on the member's own path,
     nested tarballs recursed with a ``&sub=`` URL chain, compressed leaf
-    entries decompressed. Members are streamed; a nested archive is
-    buffered for its own traversal."""
-    import io
+    entries stream-decompressed. Everything STREAMS (tarfile mode "r|*":
+    sequential block reads, transparent archive compression, no seeks):
+    a nested archive opens a child tar stream directly over the member's
+    stream and leaf entries are decoded line by line, so peak task memory
+    is O(codec window + one line) — the reference's reader-stack bound
+    (source.rs:95-161 streams entries the same way) — not
+    O(archive + largest entry) as the round-3 buffered version was."""
     import logging
     import tarfile
 
     log = logging.getLogger(__name__)
     try:
-        tf = tarfile.open(fileobj=fileobj, mode="r:*")
+        tf = tarfile.open(fileobj=fileobj, mode="r|*")
     except Exception as e:  # corrupt archive: skip it, not the job
         # reference parity: with_tarball_source reports per-archive errors
         # and continues (source.rs:150-160 error callback)
@@ -194,27 +252,33 @@ def _walk_tar(archive: str, fileobj, url_prefix, is_fp_valid):
             entry_url = name if url_prefix is None else f"{url_prefix}&sub={name}"
             try:
                 f = tf.extractfile(member)
-                if f is None:
-                    continue
-                payload = f.read()
-            except Exception as e:  # unreadable member data: skip the ENTRY
+            except Exception as e:  # unreadable member header: skip the ENTRY
                 log.warning(
                     "unreadable entry %s in %s: %s", entry_url, archive, e
                 )
                 continue
+            if f is None:
+                continue
             if name.endswith(_TAR_SUFFIXES):
-                yield from _walk_tar(
-                    archive, io.BytesIO(payload), entry_url, is_fp_valid
-                )
+                # stream-mode members must be fully consumed before the
+                # iterator advances; the recursion does exactly that
+                yield from _walk_tar(archive, f, entry_url, is_fp_valid)
             else:
-                try:
-                    raw = _maybe_decompress(name, payload)
-                except Exception as e:  # corrupt entry codec: skip the ENTRY
-                    log.warning(
-                        "unreadable entry %s in %s: %s", entry_url, archive, e
-                    )
-                    continue
-                for i, line in enumerate(_split_lines(raw), 1):
+                # decode line by line; a codec/truncation error mid-entry
+                # keeps the lines already produced, skips the REST of the
+                # entry, and continues with the next member
+                lines = enumerate(_stream_lines(_open_entry_stream(name, f)), 1)
+                while True:
+                    try:
+                        i, line = next(lines)
+                    except StopIteration:
+                        break
+                    except Exception as e:
+                        log.warning(
+                            "unreadable entry %s in %s: %s",
+                            entry_url, archive, e,
+                        )
+                        break
                     yield (archive, name, entry_url, i, line)
 
 
@@ -228,18 +292,39 @@ def read_tarballs(
     leaf entry of every tarball under the glob (tar / tar.gz / tar.xz /
     tar.bz2 via ``tarfile`` auto-detection; NESTED tarballs are traversed
     with the reference's ``&sub=`` URL chaining; compressed entries are
-    decompressed). One archive per task; ``is_fp_valid`` (e.g.
+    stream-decompressed). One archive per task; ``is_fp_valid`` (e.g.
     FileSetConfig.is_fp_valid) prunes members — including whole nested
-    archives — at each level, like the reference's in-traversal check."""
-    rdd = spark.sparkContext.binaryFiles(path_glob, min_partitions or 2)
+    archives — at each level, like the reference's in-traversal check.
 
-    def explode(kv):
-        import io
+    Local archives (the CLI's case) are NEVER materialized as task bytes:
+    the driver expands the glob and each task opens its archive as a
+    chunked file handle, so a multi-GB tarball streams through a bounded
+    buffer (O(codec window + one line), see _walk_tar). Remote schemes
+    fall back to ``binaryFiles`` whole-archive bytes — acceptable for the
+    small-archive case only, and documented as such."""
+    sc = spark.sparkContext
+    if "://" not in path_glob or path_glob.startswith("file:"):
+        import glob as _glob
 
-        path, data = kv
-        yield from _walk_tar(path, io.BytesIO(data), None, is_fp_valid)
+        paths = sorted(_glob.glob(path_glob.replace("file:", "", 1)))
+        if not paths:
+            raise FileNotFoundError(f"no archives match {path_glob}")
 
-    return spark.createDataFrame(rdd.flatMap(explode), TAR_LINES_SCHEMA)
+        def explode_path(path):
+            with open(path, "rb") as f:
+                yield from _walk_tar(path, f, None, is_fp_valid)
+
+        rdd = sc.parallelize(paths, len(paths)).flatMap(explode_path)
+    else:
+
+        def explode_bytes(kv):
+            import io
+
+            path, data = kv
+            yield from _walk_tar(path, io.BytesIO(data), None, is_fp_valid)
+
+        rdd = sc.binaryFiles(path_glob, min_partitions or 2).flatMap(explode_bytes)
+    return spark.createDataFrame(rdd, TAR_LINES_SCHEMA)
 
 
 def turns_from_files(spark: SparkSession, path_glob: str, fileset=None) -> DataFrame:

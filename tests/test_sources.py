@@ -293,3 +293,62 @@ def test_plain_path_normalizes_spark_uri_forms():
     assert sources._plain_path("file:///data/x.log") == "/data/x.log"
     assert sources._plain_path("hdfs://nn:8020/data/x.log") == "/data/x.log"
     assert sources._plain_path("/data/x.log") == "/data/x.log"
+
+
+class _CappedReader:
+    """File wrapper proving the traversal requests bounded chunks only:
+    refuses unbounded read() and records the largest requested size."""
+
+    def __init__(self, f, cap=65536):
+        self.f, self.cap, self.max_req = f, cap, 0
+        self.unbounded_reads = 0
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            self.unbounded_reads += 1
+            n = self.cap
+        self.max_req = max(self.max_req, n)
+        return self.f.read(min(n, self.cap))
+
+    def readable(self):
+        return True
+
+    def close(self):
+        self.f.close()
+
+
+def test_tar_walk_streams_bounded_chunks(tmp_path):
+    """round-4: the tar source must stream — an archive with a member much
+    larger than the read cap traverses correctly through a file object
+    that never serves (or sees) a read larger than 64 KiB, including a
+    nested archive and a compressed entry."""
+    inner = io.BytesIO()
+    with tarfile.open(fileobj=inner, mode="w") as tf:
+        p = b"nested line\n"
+        i1 = tarfile.TarInfo(name="deep.log"); i1.size = len(p)
+        tf.addfile(i1, io.BytesIO(p))
+    big = b"".join(b"line %06d with some padding text\n" % i for i in range(40000))
+    assert len(big) > 1_000_000
+    path = str(tmp_path / "big.tar.gz")
+    with tarfile.open(path, "w:gz") as tf:
+        ib = tarfile.TarInfo(name="big.log"); ib.size = len(big)
+        tf.addfile(ib, io.BytesIO(big))
+        iz = tarfile.TarInfo(name="zipped.log.gz")
+        zp = gzip.compress(b"compressed entry line\n")
+        iz.size = len(zp)
+        tf.addfile(iz, io.BytesIO(zp))
+        ii = tarfile.TarInfo(name="inner.tar"); ii.size = len(inner.getvalue())
+        tf.addfile(ii, io.BytesIO(inner.getvalue()))
+
+    with open(path, "rb") as raw:
+        capped = _CappedReader(raw)
+        rows = list(sources._walk_tar(path, capped, None, None))
+    assert capped.unbounded_reads == 0
+    assert capped.max_req <= 65536
+    by_entry = {}
+    for _, entry, _, _, text in rows:
+        by_entry.setdefault(entry, []).append(text)
+    assert len(by_entry["big.log"]) == 40000
+    assert by_entry["big.log"][39999] == "line 039999 with some padding text"
+    assert by_entry["zipped.log.gz"] == ["compressed entry line"]
+    assert by_entry["deep.log"] == ["nested line"]
