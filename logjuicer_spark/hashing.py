@@ -65,6 +65,124 @@ def word_bucket(word: str) -> tuple[int, float]:
     return h % SIZE, sign
 
 
+def _fxhash32_batch(words) -> np.ndarray:
+    """Vectorized fxhash32 over a sequence of words -> uint32 array.
+
+    Bit-identical to fxhash32 (pure wrap-around integer math, so numpy
+    uint32 arithmetic reproduces the scalar loop exactly): the words are
+    packed into a padded (n, Lmax) byte matrix and the chunk recurrence
+    runs across all words at once — one masked vector step per 4-byte
+    chunk position, then the 2-byte / 1-byte tails and the 0xff suffix.
+    This is the cold-vocabulary fast path: corpora with per-line-unique
+    tokens (zero cache hits) otherwise pay a ~1 us Python loop per word.
+    """
+    enc = [w.encode("utf-8") for w in words]
+    n = len(enc)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    h = np.zeros(n, dtype=np.uint32)
+    seed = np.uint32(_SEED32)
+    five, twenty7 = np.uint32(5), np.uint32(27)
+    # group by byte length: each class packs into a dense (k, L) byte
+    # matrix by one frombuffer/reshape (no padding, no 2D scatter) and
+    # the chunk recurrence runs MASK-FREE — every row of a class walks
+    # the identical chunk sequence (L//4 u32 chunks, then the 2/1-byte
+    # tail), so the loop is plain u32 vector ops
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    bounds = np.flatnonzero(np.diff(slens)) + 1
+    for cls in (np.split(order, bounds) if n else ()):
+        length = int(lens[cls[0]])
+        if length == 0:
+            continue
+        blob = b"".join(enc[i] for i in cls)
+        arr = np.frombuffer(blob, dtype=np.uint8).reshape(len(cls), length)
+        hc = np.zeros(len(cls), dtype=np.uint32)
+        o = 0
+        while length - o >= 4:
+            w = (
+                arr[:, o].astype(np.uint32)
+                | (arr[:, o + 1].astype(np.uint32) << np.uint32(8))
+                | (arr[:, o + 2].astype(np.uint32) << np.uint32(16))
+                | (arr[:, o + 3].astype(np.uint32) << np.uint32(24))
+            )
+            hc = (((hc << five) | (hc >> twenty7)) ^ w) * seed
+            o += 4
+        if length - o >= 2:
+            w = arr[:, o].astype(np.uint32) | (
+                arr[:, o + 1].astype(np.uint32) << np.uint32(8)
+            )
+            hc = (((hc << five) | (hc >> twenty7)) ^ w) * seed
+            o += 2
+        if length - o == 1:
+            hc = (((hc << five) | (hc >> twenty7)) ^ arr[:, o].astype(np.uint32)) * seed
+        h[cls] = hc
+    # Hash for str writes the bytes then a single 0xff (prefix-freedom)
+    h = (((h << five) | (h >> twenty7)) ^ np.uint32(0xFF)) * seed
+    return h
+
+
+# executor-lifetime (bucket, sign) cache shared by the batch path; the
+# lru_cache on word_bucket stays for the scalar path
+_BUCKET_CACHE: dict = {}
+
+
+def _word_buckets_batch(uniques) -> tuple[np.ndarray, np.ndarray]:
+    """(buckets, signs) for a batch of unique words: dict-cache hits are a
+    lookup, misses hash through the VECTORIZED fxhash32 — the per-word
+    Python loop only survives in the scalar word_bucket path.
+
+    A 512-word sample probes the cache first: template vocabularies hit
+    ~90% (measured, scripts/tokenizer_bench.py) and take the split
+    probe; adversarial per-line-unique vocabularies hit ~0% and skip the
+    probe loop entirely — on such corpora the probe itself was the
+    largest single cost. Misses warm the cache only while the batch is
+    small enough to be a plausible recurring vocabulary (a million-word
+    one-shot vocabulary would just thrash the cap)."""
+    nw = len(uniques)
+    cache_get = _BUCKET_CACHE.get
+    sample_hits = 0
+    sample_n = min(nw, 512)
+    for i in range(sample_n):
+        if cache_get(uniques[i]) is not None:
+            sample_hits += 1
+    if sample_n and sample_hits >= 0.05 * sample_n:
+        ub = np.empty(nw, dtype=np.int64)
+        us = np.empty(nw, dtype=np.float32)
+        miss_i: list = []
+        miss_w: list = []
+        for i in range(nw):
+            hit = cache_get(uniques[i])
+            if hit is None:
+                miss_i.append(i)
+                miss_w.append(uniques[i])
+            else:
+                ub[i], us[i] = hit
+        if not miss_w:
+            return ub, us
+        hs = _fxhash32_batch(miss_w)
+        buckets = (hs % np.uint32(SIZE)).astype(np.int64)
+        signs = np.where(
+            hs >= np.uint32(2_147_483_648), np.float32(1.0), np.float32(-1.0)
+        )
+        mi = np.asarray(miss_i, dtype=np.int64)
+        ub[mi] = buckets
+        us[mi] = signs
+    else:
+        miss_w = uniques
+        hs = _fxhash32_batch(miss_w)
+        buckets = (hs % np.uint32(SIZE)).astype(np.int64)
+        signs = np.where(
+            hs >= np.uint32(2_147_483_648), np.float32(1.0), np.float32(-1.0)
+        )
+        ub, us = buckets, signs
+    if len(miss_w) <= 200_000:
+        if len(_BUCKET_CACHE) + len(miss_w) > (1 << 20):
+            _BUCKET_CACHE.clear()
+        for w, b, s in zip(miss_w, buckets.tolist(), signs.tolist()):
+            _BUCKET_CACHE[w] = (b, s)
+    return ub, us
+
+
 def vectorize(tokens: str) -> tuple[np.ndarray, np.ndarray]:
     """Sparse vector of one tokenized line: (sorted unique buckets, signs).
 
@@ -103,10 +221,7 @@ def _vectorize_batch(token_lines) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
     flat = [w for ws in word_lists for w in ws]
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-    ub = np.empty(len(uniques), dtype=np.int64)
-    us = np.empty(len(uniques), dtype=np.float32)
-    for i, w in enumerate(uniques):
-        ub[i], us[i] = word_bucket(w)
+    ub, us = _word_buckets_batch(uniques)
     cols = ub[codes]
     vals = us[codes]
     rows = np.repeat(np.arange(len(token_lines), dtype=np.int64), lens)
@@ -122,16 +237,22 @@ def _vectorize_batch(token_lines) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return rows, cols, vals
 
 
-def _multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenation of arange(s, s+c) for each (s, c), vectorized."""
+def _multi_arange(starts: np.ndarray, counts: np.ndarray, dtype=np.int64) -> np.ndarray:
+    """Concatenation of arange(s, s+c) for each (s, c), vectorized.
+
+    ``dtype``: the accumulator loop passes int32 whenever the index nnz
+    fits (it always does at SIZE=260k per-group models) — the cumsum and
+    the downstream gathers are memory-bandwidth-bound, so halving element
+    width is a direct throughput win (measured, scripts note in BENCH.md).
+    Values stay in [0, nnz), so int32 cumsum cannot overflow."""
     nz = counts > 0
     starts = starts[nz]
     counts = counts[nz]
     total = int(counts.sum())
     if total == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=dtype)
     ends = np.cumsum(counts)
-    out = np.ones(total, dtype=np.int64)
+    out = np.ones(total, dtype=dtype)
     out[0] = starts[0]
     # at the first slot of each later range, jump from the previous range's
     # last value (starts[i-1] + counts[i-1] - 1) to starts[i]
@@ -150,6 +271,14 @@ class SparseIndex:
 
     def __init__(self, nrows: int, cols: np.ndarray, rows: np.ndarray, vals: np.ndarray):
         self.nrows = int(nrows)
+        # int32 storage (buckets < 260k, row ids < 2^31 at any collectable
+        # model size): the scoring loop is memory-bandwidth-bound on the
+        # (rows, vals) gathers, so narrow elements are a direct win — and
+        # the broadcast pickle halves too. Guarded: a hypothetical >2^31-row
+        # index keeps int64.
+        if self.nrows < 2**31 and len(cols):
+            cols = cols.astype(np.int32, copy=False)
+            rows = rows.astype(np.int32, copy=False)
         self.cols = cols
         self.rows = rows
         self.vals = vals
@@ -237,6 +366,10 @@ class SparseIndex:
         t_idx, t_cols, t_vals = _vectorize_batch(token_lines)
         if len(t_cols) == 0:
             return result
+        # match the probe dtype to the stored cols: a mixed-dtype
+        # searchsorted would silently promote (and copy) the full index
+        # column array on every batch
+        t_cols = t_cols.astype(self.cols.dtype, copy=False)
         lo = np.searchsorted(self.cols, t_cols, side="left")
         hi = np.searchsorted(self.cols, t_cols, side="right")
         cnt = (hi - lo).astype(np.int64)
@@ -262,13 +395,18 @@ class SparseIndex:
             if ws == we:
                 start_t = end_t
                 continue
-            gather = _multi_arange(lo[ws:we], cnt[ws:we])
+            gather = _multi_arange(
+                lo[ws:we], cnt[ws:we],
+                dtype=np.int32 if self.nnz < 2**31 else np.int64,
+            )
             if len(gather) == 0:
                 start_t = end_t
                 continue
             b_rows = self.rows[gather]
             prod = self.vals[gather] * np.repeat(t_vals[ws:we], cnt[ws:we])
-            t_rep = np.repeat(t_idx[ws:we] - start_t, cnt[ws:we]).astype(np.int64)
+            # t_idx is int64 already; no astype — its default copy was a
+            # full extra pass over the pair stream
+            t_rep = np.repeat(t_idx[ws:we] - start_t, cnt[ws:we])
             nb = end_t - start_t
             keys = t_rep * nrows + b_rows
             if nb * self.nrows <= self._DENSE_CELLS:

@@ -128,3 +128,51 @@ def test_overlap_heavy_scoring_budgeted():
     # collide in the 260k-bucket space and shift individual scores)
     assert (np.abs(d - (1 - 8 / 9)) < 1e-5).mean() > 0.9
     assert dt < 60  # was effectively unbounded with sort-based compaction
+
+
+def test_fxhash32_batch_matches_scalar():
+    """round-4: the vectorized cold-vocabulary hash path must be
+    bit-identical to the scalar fxhash32 on every length class, tail
+    shape, unicode and the empty word."""
+    import random
+
+    import numpy as np
+
+    from logjuicer_spark import hashing as H
+
+    rng = random.Random(11)
+    words = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+             "ü", "héllo wörld", "日本語テキスト", "x" * 39, "y" * 40, "z" * 41]
+    words += [
+        "".join(rng.choice("abcdef0123456789%_-üθ") for _ in range(rng.randint(0, 45)))
+        for _ in range(5000)
+    ]
+    got = H._fxhash32_batch(words)
+    want = np.array([H.fxhash32(w.encode("utf-8")) for w in words], dtype=np.uint32)
+    assert np.array_equal(got, want)
+
+
+def test_word_buckets_batch_matches_scalar_both_probe_regimes():
+    """_word_buckets_batch must agree with word_bucket whether the cache
+    probe path (warm cache) or the skip-probe path (cold cache) runs."""
+    import numpy as np
+
+    from logjuicer_spark import hashing as H
+
+    words = [f"w{i}_{i % 7}" for i in range(2000)] + ["%EQ", "error", ""]
+    want_b = np.array([H.word_bucket(w)[0] for w in words], dtype=np.int64)
+    want_s = np.array([H.word_bucket(w)[1] for w in words], dtype=np.float32)
+
+    H._BUCKET_CACHE.clear()  # cold: sample probe misses -> vectorized-all
+    b1, s1 = H._word_buckets_batch(words)
+    assert np.array_equal(b1, want_b) and np.array_equal(s1, want_s)
+
+    # warm: cache now holds every word -> full probe path
+    b2, s2 = H._word_buckets_batch(words)
+    assert np.array_equal(b2, want_b) and np.array_equal(s2, want_s)
+
+    # mixed: half the vocabulary is new
+    mixed = words[:1000] + [f"fresh{i}" for i in range(1000)]
+    want_mb = np.array([H.word_bucket(w)[0] for w in mixed], dtype=np.int64)
+    b3, _ = H._word_buckets_batch(mixed)
+    assert np.array_equal(b3, want_mb)
