@@ -208,3 +208,37 @@ def test_distributed_lloyd_finds_cluster_the_sample_misses(spark):
     assert best_cos_to_rare(sampled) < 0.5, best_cos_to_rare(sampled)
     # ...the full-data Lloyd does
     assert best_cos_to_rare(distributed) > 0.95, best_cos_to_rare(distributed)
+
+
+def test_media_real_decode_fallback_without_libs(spark):
+    """use_real=True on executors WITHOUT PIL/soundfile must keep the
+    plumbing intact: every row comes back with decode_ok=False and a real
+    sha256/n_bytes, no job failure."""
+    from logjuicer_spark.extras import multimodal as mm
+
+    media = mm.synth_media(spark, n=12)
+    rows = mm.extract_features(media, use_real=True).collect()
+    assert len(rows) == 12
+    assert all(r.decode_ok is False and r.feature is None for r in rows)
+    assert all(len(r.sha256) == 64 and r.n_bytes > 0 for r in rows)
+
+
+def test_media_real_decode_with_pil(spark):
+    """Real-codec path (skip-marked: PIL is not in the sandbox): a genuine
+    PNG payload decodes with decode_ok=True and a 16-dim feature."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from logjuicer_spark.extras import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (200, 30, 90)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", "image/png", buf.getvalue(), {})], mm.MEDIA_SCHEMA
+    )
+    row = mm.extract_features(media, use_real=True).collect()[0]
+    assert row.decode_ok is True
+    assert len(row.feature) == 16
+    assert all(0.0 <= v <= 1.0 for v in row.feature)
