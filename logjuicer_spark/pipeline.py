@@ -232,7 +232,8 @@ def enrich(
     cfg: PipelineConfig = PipelineConfig(),
     count_scored: bool = True,
     model_df: DataFrame | None = None,
-) -> DataFrame:
+    return_scored: bool = False,
+):
     """Attach is_known / is_target / score / emit_ok to every parsed row.
 
     Scoring path: with bc_indexes (the collected {group: SparseIndex}
@@ -240,7 +241,12 @@ def enrich(
     whenever the model fits one process's RAM. With bc_indexes=None and
     model_df set, scoring runs as the distributed join formulation
     (score.score_winners_distributed) — the escape hatch when the model
-    exceeds the driver-collect budget (run() falls back automatically)."""
+    exceeds the driver-collect budget (run() falls back automatically).
+
+    ``return_scored=True`` returns (enriched, scored): the tiny persisted
+    scored-winners dim doubles as the route stage's dirty-conversation
+    oracle (the winner's skey encodes its conversation), sparing route a
+    full enriched re-scan just to pick its strategy."""
     group = cfg.group_col
     if bc_indexes is not None:
         # collected-model path: the keys are already on the driver, so the
@@ -336,7 +342,8 @@ def enrich(
         ).drop("_g_dkey", "_g_skey")
     else:
         j = j.withColumn("emit_ok", F.lit(True))
-    return j.drop("_skey")
+    out = j.drop("_skey")
+    return (out, scored) if return_scored else out
 
 
 # --------------------------------------------------------------------------
@@ -423,7 +430,11 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) 
 
 
 def _route_single(
-    enriched: DataFrame, cfg: PipelineConfig, clean_split: bool = False
+    enriched: DataFrame,
+    cfg: PipelineConfig,
+    clean_split: bool = False,
+    dirty_conv_dim: DataFrame | None = None,
+    n_convs: int | None = None,
 ) -> DataFrame:
     """One conversation per task (the common case: conversations are far
     smaller than cfg.max_task_lines).
@@ -460,18 +471,32 @@ def _route_single(
         & F.col("is_target")
         & (F.coalesce(F.col("score"), F.lit(0.0)) > float(np.float32(threshold)))
     )
-    # one map-side-combining stats pass decides the strategy: the dirty
-    # CONV FRACTION matters, not just broadcastability — a dim that covers
-    # most conversations (anomaly-dense corpus) makes the split pay three
-    # plan passes for nothing. HLL approximation is fine here: 0 is exact
-    # (empty set), and the fraction/guard comparisons tolerate a few %.
-    stats = sel.agg(
-        F.approx_count_distinct(
-            F.when(anom_row, F.col("conv_id"))
-        ).alias("dirty"),
-        F.approx_count_distinct("conv_id").alias("total"),
-    ).first()
-    n_dirty, n_convs = int(stats["dirty"]), int(stats["total"])
+    # strategy dims. Preferred source (round 4): the caller derives the
+    # dirty-conversation dim from the persisted scored winners — a conv is
+    # dirty iff an anomalous winner's first occurrence lives in it, and
+    # the winner's skey ENCODES that conversation — so the strategy costs
+    # one job over a tiny cached dim instead of a full enriched re-scan.
+    # (A dim covering convs absent from this input — e.g. the monster
+    # split filtered them out — is harmless: the anti/semi joins just
+    # never match those ids.) Fallback without the dim: the original
+    # map-side-combining stats pass over enriched. The dirty CONV FRACTION
+    # still matters, not just broadcastability — a dim covering most
+    # conversations (anomaly-dense corpus) makes the split pay its plan
+    # passes for nothing; n_convs comes from the caller (a column-pruned
+    # approx-distinct over the parsed checkpoint) or the stats pass, and
+    # when genuinely unknown only the broadcast guard applies.
+    if dirty_conv_dim is not None:
+        dirty_dim = dirty_conv_dim
+        n_dirty = dirty_dim.count()
+    else:
+        stats = sel.agg(
+            F.approx_count_distinct(
+                F.when(anom_row, F.col("conv_id"))
+            ).alias("dirty"),
+            F.approx_count_distinct("conv_id").alias("total"),
+        ).first()
+        n_dirty, n_convs = int(stats["dirty"]), int(stats["total"])
+        dirty_dim = None
 
     clean_cols = [
         F.col("conv_id"),
@@ -492,11 +517,14 @@ def _route_single(
     ]
     if n_dirty == 0:
         return sel.select(*clean_cols)
-    if n_dirty >= _BROADCAST_SCORED_ROWS or n_dirty > 0.2 * n_convs:
+    if n_dirty >= _BROADCAST_SCORED_ROWS or (
+        n_convs is not None and n_dirty > 0.2 * n_convs
+    ):
         # anomaly-dense: most conversations need the walk anyway (or the
         # dim exceeds the broadcast guard) — single pass through pandas
         return sel.groupBy("conv_id").applyInPandas(fn, schema=ROUTED)
-    dirty_dim = sel.filter(anom_row).select("conv_id").distinct()
+    if dirty_dim is None:
+        dirty_dim = sel.filter(anom_row).select("conv_id").distinct()
     dim = F.broadcast(dirty_dim.select(F.col("conv_id").alias("_d_conv")))
     clean_out = sel.join(
         dim, sel["conv_id"] == F.col("_d_conv"), "left_anti"
@@ -515,6 +543,8 @@ def route(
     conv_sizes: DataFrame | None = None,
     allow_split: bool = True,
     clean_split: bool = False,
+    dirty_conv_dim: DataFrame | None = None,
+    n_convs: int | None = None,
 ) -> DataFrame:
     """Per-conversation context assembly + fan-out labels.
 
@@ -525,8 +555,11 @@ def route(
     from the parsed checkpoint, a column-pruned parquet scan) so the probe
     does not re-evaluate the enrich plan; allow_split=False skips the probe
     entirely (used for inputs already known to be small)."""
+    kw = dict(
+        clean_split=clean_split, dirty_conv_dim=dirty_conv_dim, n_convs=n_convs
+    )
     if not allow_split or cfg.max_task_lines is None:
-        return _route_single(enriched, cfg, clean_split=clean_split)
+        return _route_single(enriched, cfg, **kw)
     if cfg.parse_timestamps:
         # range splitting is undefined in parse-timestamp mode (W3 LastTS
         # state crosses chunk boundaries unbounded — route_split raises), so
@@ -539,7 +572,7 @@ def route(
             "guard (max_task_lines=%s); oversized conversations run as "
             "single tasks", cfg.max_task_lines,
         )
-        return _route_single(enriched, cfg, clean_split=clean_split)
+        return _route_single(enriched, cfg, **kw)
     if conv_sizes is None:
         conv_sizes = enriched.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
     big_ids = [
@@ -549,10 +582,10 @@ def route(
         .collect()
     ]
     if not big_ids:
-        return _route_single(enriched, cfg, clean_split=clean_split)
+        return _route_single(enriched, cfg, **kw)
     small = enriched.filter(~F.col("conv_id").isin(big_ids))
     big = enriched.filter(F.col("conv_id").isin(big_ids))
-    return _route_single(small, cfg, clean_split=clean_split).unionByName(
+    return _route_single(small, cfg, **kw).unionByName(
         route_split(big, cfg)
     )
 
@@ -961,7 +994,23 @@ def run(
                 _SCORED_REFS.append(parsed_b)
 
     parsed = spark.read.parquet(f"{work_dir}/parsed")
-    enriched = enrich(parsed, bc, cfg, model_df=model_df)
+    enriched, scored = enrich(
+        parsed, bc, cfg, model_df=model_df, return_scored=True
+    )
+    # route strategy inputs from the CHEAP sources (round 4): the dirty
+    # conv dim comes from the tiny persisted scored winners (skey encodes
+    # the winner's conversation), and the conv total from a column-pruned
+    # approx-distinct over the parsed checkpoint — the route stage used to
+    # re-evaluate the full enriched plan (checkpoint scan + both broadcast
+    # joins) once more just to make this decision
+    dirty_conv_dim = (
+        scored.filter(F.col("score") > float(np.float32(cfg.threshold)))
+        .select(F.substring_index("skey", "\x00", 1).alias("conv_id"))
+        .distinct()
+    )
+    n_convs = int(
+        parsed.agg(F.approx_count_distinct("conv_id").alias("n")).first()["n"]
+    )
     # monster-conv probe, cheapest-first: a count-star over the checkpoint
     # (parquet footer metadata, no column reads) proves no conversation can
     # exceed the limit whenever the WHOLE input is under it; only then pay
@@ -973,7 +1022,7 @@ def run(
         conv_sizes = parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
     route(
         enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split,
-        clean_split=True,
+        clean_split=True, dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
     ).write.mode("overwrite").parquet(f"{work_dir}/routed")
     release_stage_caches()
     routed = spark.read.parquet(f"{work_dir}/routed")
