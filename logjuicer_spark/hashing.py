@@ -404,11 +404,11 @@ class SparseIndex:
                 continue
             b_rows = self.rows[gather]
             prod = self.vals[gather] * np.repeat(t_vals[ws:we], cnt[ws:we])
-            # t_idx is int64 already; no astype — its default copy was a
-            # full extra pass over the pair stream
-            t_rep = np.repeat(t_idx[ws:we] - start_t, cnt[ws:we])
+            # scale to key space BEFORE the repeat: the multiply runs over
+            # the word-level array (tiny) instead of the pair stream — one
+            # fewer full pass over the flush's largest arrays
             nb = end_t - start_t
-            keys = t_rep * nrows + b_rows
+            keys = np.repeat((t_idx[ws:we] - start_t) * nrows, cnt[ws:we]) + b_rows
             if nb * self.nrows <= self._DENSE_CELLS:
                 sums = np.bincount(keys, weights=prod, minlength=nb * self.nrows)
                 best = sums.reshape(nb, self.nrows).max(axis=1).astype(np.float32)
