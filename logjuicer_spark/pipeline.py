@@ -936,8 +936,26 @@ def run(
                 else:
                     bc = _broadcast_or_none(spark, model_df)
                 mat_fut.result()
-            enriched = enrich(
-                parsed_t, bc, cfg, count_scored=False, model_df=model_df
+            enriched, scored = enrich(
+                parsed_t, bc, cfg, count_scored=False, model_df=model_df,
+                return_scored=True,
+            )
+            # round 4: the small path takes the clean/dirty split too, now
+            # that the strategy dim is FREE (derived from the scored
+            # winners — materializing them is work the route job needed
+            # anyway). Measured at sf0.1: beats the classic single pandas
+            # pass in every paired run (2.5-3.6s vs 3.1-4.1s flagship);
+            # the old objection (a stats scan costing more than it saved
+            # on cached inputs) no longer applies because nothing scans
+            # enriched to decide.
+            dirty_conv_dim = (
+                scored.filter(
+                    F.col("score") > float(np.float32(cfg.threshold))
+                )
+                .select(
+                    F.substring_index("skey", "\x00", 1).alias("conv_id")
+                )
+                .distinct()
             )
             # small input => no conversation can exceed max_task_lines. The
             # routed stage is persisted (not parquet-checkpointed): it feeds
@@ -946,7 +964,8 @@ def run(
             # releasing the upstream caches or the route job would recompute
             # uncached.
             routed = route(
-                enriched, cfg, allow_split=False, clean_split=False
+                enriched, cfg, allow_split=False, clean_split=True,
+                dirty_conv_dim=dirty_conv_dim,
             ).persist()
             routed.count()
         finally:
