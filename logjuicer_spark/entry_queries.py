@@ -600,6 +600,20 @@ def q_similarity_report(spark, sf_dir):
     return rep.select("group", "tokens", "conv_id", "turn_idx", "n_sources")
 
 
+def _known_groups_dim(model_df, parsed_target):
+    """Effective is_known membership for the staged oracles: the engine's
+    lookup_or_single (model.rs:857-869, enrich's single_index branch)
+    treats EVERY group as known when the model holds exactly one index,
+    so on a single-group baseline the staged dim must be the target's own
+    group universe — staging the model's one group key would make the
+    oracle's `tool IN (SELECT group_key ...)` clause drop rows the engine
+    legitimately scores, false-failing the gate on a correct output."""
+    groups = model_df.select("group_key").distinct()
+    if groups.count() == 1:
+        return parsed_target.select(F.col("tool").alias("group_key")).distinct()
+    return groups
+
+
 def q_flagship_anomalies(spark, sf_dir):
     """The flagship's anomaly-set semantics, DuckDB-oracled end to end.
 
@@ -626,9 +640,9 @@ def q_flagship_anomalies(spark, sf_dir):
 
     model_df = M.train(P.parse(baseline, cfg))
     bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
-    _stage(spark, model_df.select("group_key").distinct(), "flag_groups")
 
     parsed_full = P.parse(target, cfg)
+    _stage(spark, _known_groups_dim(model_df, parsed_full), "flag_groups")
     _stage(
         spark,
         parsed_full.select(
@@ -680,8 +694,8 @@ def q_pipeline_anomalies_oracle(spark, sf_dir):
 
     model_df = M.train(P.parse(baseline, cfg))
     bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
-    _stage(spark, model_df.select("group_key").distinct(), "pipe_groups")
     parsed_full = P.parse(target, cfg)
+    _stage(spark, _known_groups_dim(model_df, parsed_full), "pipe_groups")
     _stage(
         spark,
         parsed_full.select(

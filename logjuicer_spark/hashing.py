@@ -145,6 +145,16 @@ def _word_buckets_batch(uniques) -> tuple[np.ndarray, np.ndarray]:
     for i in range(sample_n):
         if cache_get(uniques[i]) is not None:
             sample_hits += 1
+
+    def _hash_all(words):
+        hs = _fxhash32_batch(words)
+        return (
+            (hs % np.uint32(SIZE)).astype(np.int64),
+            np.where(
+                hs >= np.uint32(2_147_483_648), np.float32(1.0), np.float32(-1.0)
+            ),
+        )
+
     if sample_n and sample_hits >= 0.05 * sample_n:
         ub = np.empty(nw, dtype=np.int64)
         us = np.empty(nw, dtype=np.float32)
@@ -159,21 +169,13 @@ def _word_buckets_batch(uniques) -> tuple[np.ndarray, np.ndarray]:
                 ub[i], us[i] = hit
         if not miss_w:
             return ub, us
-        hs = _fxhash32_batch(miss_w)
-        buckets = (hs % np.uint32(SIZE)).astype(np.int64)
-        signs = np.where(
-            hs >= np.uint32(2_147_483_648), np.float32(1.0), np.float32(-1.0)
-        )
+        buckets, signs = _hash_all(miss_w)
         mi = np.asarray(miss_i, dtype=np.int64)
         ub[mi] = buckets
         us[mi] = signs
     else:
         miss_w = uniques
-        hs = _fxhash32_batch(miss_w)
-        buckets = (hs % np.uint32(SIZE)).astype(np.int64)
-        signs = np.where(
-            hs >= np.uint32(2_147_483_648), np.float32(1.0), np.float32(-1.0)
-        )
+        buckets, signs = _hash_all(miss_w)
         ub, us = buckets, signs
     if len(miss_w) <= 200_000:
         if len(_BUCKET_CACHE) + len(miss_w) > (1 << 20):
@@ -257,7 +259,11 @@ def _multi_arange(starts: np.ndarray, counts: np.ndarray, dtype=np.int64) -> np.
     # at the first slot of each later range, jump from the previous range's
     # last value (starts[i-1] + counts[i-1] - 1) to starts[i]
     out[ends[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
-    return np.cumsum(out)
+    # keep the requested width through the cumsum: np.cumsum PROMOTES
+    # int32 input to int64 by default, which would silently undo the
+    # narrow-gather optimization (values stay in [0, nnz), so the narrow
+    # accumulation cannot overflow)
+    return np.cumsum(out, dtype=dtype)
 
 
 class SparseIndex:

@@ -212,6 +212,22 @@ def _skey():
 # scored dims smaller than this are broadcast to kill the probe-side shuffle
 _BROADCAST_SCORED_ROWS = 1_000_000
 
+
+def _dirty_conv_dim(scored: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    """Conversations containing an anomalous target row, derived from the
+    scored winners alone: a conv is dirty iff an anomalous winner's first
+    occurrence lives in it, and the winner's skey ENCODES that
+    conversation (_skey's \\x00 separator). The f32 threshold literal
+    matches enrich's gl filter and _route_single's anom_row exactly —
+    this single definition is load-bearing for route-strategy
+    correctness, so both run() paths (and the regression tests) share
+    it."""
+    return (
+        scored.filter(F.col("score") > float(np.float32(cfg.threshold)))
+        .select(F.substring_index("skey", "\x00", 1).alias("conv_id"))
+        .distinct()
+    )
+
 # persisted scored dims awaiting release (run() unpersists after its sinks
 # are written; long sessions running many queries would otherwise
 # accumulate executor cache)
@@ -947,15 +963,14 @@ def run(
             # pass in every paired run (2.5-3.6s vs 3.1-4.1s flagship);
             # the old objection (a stats scan costing more than it saved
             # on cached inputs) no longer applies because nothing scans
-            # enriched to decide.
-            dirty_conv_dim = (
-                scored.filter(
-                    F.col("score") > float(np.float32(cfg.threshold))
-                )
-                .select(
-                    F.substring_index("skey", "\x00", 1).alias("conv_id")
-                )
-                .distinct()
+            # enriched to decide. The conv total (for the dirty-fraction
+            # guard that keeps anomaly-DENSE corpora on the single pandas
+            # pass) is one narrow scan over the CACHED parsed rows.
+            dirty_conv_dim = _dirty_conv_dim(scored, cfg)
+            n_convs = int(
+                parsed_t.agg(
+                    F.approx_count_distinct("conv_id").alias("n")
+                ).first()["n"]
             )
             # small input => no conversation can exceed max_task_lines. The
             # routed stage is persisted (not parquet-checkpointed): it feeds
@@ -965,7 +980,7 @@ def run(
             # uncached.
             routed = route(
                 enriched, cfg, allow_split=False, clean_split=True,
-                dirty_conv_dim=dirty_conv_dim,
+                dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
             ).persist()
             routed.count()
         finally:
@@ -1022,11 +1037,7 @@ def run(
     # approx-distinct over the parsed checkpoint — the route stage used to
     # re-evaluate the full enriched plan (checkpoint scan + both broadcast
     # joins) once more just to make this decision
-    dirty_conv_dim = (
-        scored.filter(F.col("score") > float(np.float32(cfg.threshold)))
-        .select(F.substring_index("skey", "\x00", 1).alias("conv_id"))
-        .distinct()
-    )
+    dirty_conv_dim = _dirty_conv_dim(scored, cfg)
     n_convs = int(
         parsed.agg(F.approx_count_distinct("conv_id").alias("n")).first()["n"]
     )

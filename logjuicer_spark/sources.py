@@ -36,6 +36,7 @@ import bz2
 import gzip
 import io as _io
 import lzma
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -306,12 +307,29 @@ def read_tarballs(
     if "://" not in path_glob or path_glob.startswith("file:"):
         import glob as _glob
 
-        paths = sorted(_glob.glob(path_glob.replace("file:", "", 1)))
+        # regular files only: a glob can match directories or dangling
+        # symlinks, which the old binaryFiles path tolerated (it expanded
+        # dirs and skipped broken links) — the streamed path must not let
+        # one of those abort the job
+        paths = sorted(
+            p
+            for p in _glob.glob(path_glob.replace("file:", "", 1))
+            if _os.path.isfile(p)
+        )
         if not paths:
             raise FileNotFoundError(f"no archives match {path_glob}")
 
         def explode_path(path):
-            with open(path, "rb") as f:
+            import logging
+
+            try:
+                f = open(path, "rb")
+            except OSError as e:  # vanished/unreadable since listing
+                logging.getLogger(__name__).warning(
+                    "unreadable archive %s: %s", path, e
+                )
+                return
+            with f:
                 yield from _walk_tar(path, f, None, is_fp_valid)
 
         rdd = sc.parallelize(paths, len(paths)).flatMap(explode_path)

@@ -44,11 +44,7 @@ def test_dirty_dim_routing_equals_stats_routing(spark):
     cfg = pipeline.PipelineConfig()
     enriched, scored = _enrich_both(spark, baseline, target, cfg)
 
-    dirty_dim = (
-        scored.filter(F.col("score") > float(np.float32(cfg.threshold)))
-        .select(F.substring_index("skey", "\x00", 1).alias("conv_id"))
-        .distinct()
-    )
+    dirty_dim = pipeline._dirty_conv_dim(scored, cfg)
     via_stats = pipeline._route_single(enriched, cfg, clean_split=True)
     via_dim = pipeline._route_single(
         enriched, cfg, clean_split=True, dirty_conv_dim=dirty_dim, n_convs=6
@@ -64,11 +60,7 @@ def test_dirty_dim_with_absent_convs_is_harmless(spark):
     baseline, target, _ = _corpus(spark, seed=9)
     cfg = pipeline.PipelineConfig()
     enriched, scored = _enrich_both(spark, baseline, target, cfg)
-    dirty_dim = (
-        scored.filter(F.col("score") > float(np.float32(cfg.threshold)))
-        .select(F.substring_index("skey", "\x00", 1).alias("conv_id"))
-        .distinct()
-    )
+    dirty_dim = pipeline._dirty_conv_dim(scored, cfg)
     # keep only half the conversations in the input (the monster-split
     # shape: _route_single(small, ...) receives the GLOBAL dim)
     keep = [r[0] for r in sorted(
@@ -96,3 +88,28 @@ def test_run_big_path_uses_dim_and_matches_small_path(spark):
     )
     assert k(big) == k(small)
     assert {(c, t) for c, t, _ in k(big)} == {(c, i) for c, i, _ in exp}
+
+
+def test_known_groups_dim_single_index_covers_target_tools(spark):
+    """Oracle-staging parity with lookup_or_single (model.rs:857-869): a
+    single-group model makes EVERY tool known, so the staged membership
+    dim must be the target's group universe, not the model's one key."""
+    from logjuicer_spark.entry_queries import _known_groups_dim
+
+    model_single = spark.createDataFrame(
+        [("bash", 0)], "group_key string, row_id int"
+    )
+    model_multi = spark.createDataFrame(
+        [("bash", 0), ("python", 0)], "group_key string, row_id int"
+    )
+    parsed = spark.createDataFrame(
+        [("c0", "bash"), ("c0", "web"), ("c1", "web")], "conv_id string, tool string"
+    )
+    got_single = sorted(
+        r.group_key for r in _known_groups_dim(model_single, parsed).collect()
+    )
+    assert got_single == ["bash", "web"]
+    got_multi = sorted(
+        r.group_key for r in _known_groups_dim(model_multi, parsed).collect()
+    )
+    assert got_multi == ["bash", "python"]

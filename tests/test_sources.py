@@ -352,3 +352,16 @@ def test_tar_walk_streams_bounded_chunks(tmp_path):
     assert by_entry["big.log"][39999] == "line 039999 with some padding text"
     assert by_entry["zipped.log.gz"] == ["compressed entry line"]
     assert by_entry["deep.log"] == ["nested line"]
+
+
+def test_tar_glob_matching_directory_and_dead_symlink(spark, tmp_path):
+    """round-4 review: a glob matching a subdirectory or dangling symlink
+    must not abort the job — only regular files are opened."""
+    d = str(tmp_path / "mixed")
+    os.makedirs(f"{d}/subdir.tar")  # a DIRECTORY whose name matches the glob
+    _make_tar(f"{d}/real.tar.gz", [("a.log", b"real line\n")])
+    os.symlink(f"{d}/vanished.tar.gz", f"{d}/broken.tar.gz")  # dangling
+    rows = sources.read_tarballs(spark, f"{d}/*").collect()
+    assert [(r.archive.rsplit("/", 1)[-1], r.text) for r in rows] == [
+        ("real.tar.gz", "real line")
+    ]
