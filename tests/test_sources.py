@@ -365,3 +365,21 @@ def test_tar_glob_matching_directory_and_dead_symlink(spark, tmp_path):
     assert [(r.archive.rsplit("/", 1)[-1], r.text) for r in rows] == [
         ("real.tar.gz", "real line")
     ]
+
+
+def test_walk_tar_bytesio_matches_streamed_file(tmp_path):
+    """The remote-scheme fallback traverses from whole-archive bytes
+    (BytesIO); its output must match the streamed file-handle path."""
+    path = str(tmp_path / "par.tar.gz")
+    _make_tar(path, [
+        ("a.log", b"one\ntwo\n"),
+        ("b.log.gz", gzip.compress(b"three\n")),
+    ])
+    with open(path, "rb") as f:
+        streamed = list(sources._walk_tar(path, f, None, None))
+    data = open(path, "rb").read()
+    buffered = list(sources._walk_tar(path, io.BytesIO(data), None, None))
+    assert streamed == buffered
+    assert [(e, t) for _, e, _, _, t in streamed] == [
+        ("a.log", "one"), ("a.log", "two"), ("b.log.gz", "three")
+    ]
