@@ -85,16 +85,35 @@ def _start_find(line: str, needle: str):
 
 
 def _go_tb_completed(pos: int, line: str) -> bool:
-    # errors_parser.rs:130-145 (nth(pos) on the full line, per the reference)
+    # errors_parser.rs:130-145: the reference slices l = &line[pos..] and
+    # then tests l.chars().nth(pos) — i.e. the tab call-location check
+    # reads index pos WITHIN THE SLICE (full-line offset ~2*pos), not the
+    # slice's first char. Odd, but parity means reproducing it exactly:
+    # a round-4 review found this transcribed as line[pos] (== sub[0]),
+    # which diverges for any panic found at pos > 0 (prefixed CI logs).
     if len(line) > pos:
         sub = line[pos:]
         return not (
             sub.startswith("goroutine ")
             or sub.startswith("created by")
             or _GO_FUNC_RE.match(sub) is not None
-            or (len(line) > pos and line[pos : pos + 1] == "\t")
+            or sub[pos : pos + 1] == "\t"
         )
     return False
+
+
+def is_ansible_source(source: str) -> bool:
+    """Source::is_ansible (report.rs:479-486): the file NAME (after the
+    last '/') starts with job-output or contains ansible; sources without
+    a '/' are never ansible (the reference requires rsplit_once to
+    succeed). Ansible sources change the errors flow twice
+    (errors.rs:289-294, process.rs:93-99): global dedup is DISABLED for
+    them (skip_lines = None) and the model filter checks the
+    before-context too (filter.rs:40 check_before)."""
+    if "/" not in source:
+        return False
+    name = source.rsplit("/", 1)[1]
+    return name.startswith("job-output") or "ansible" in name
 
 
 class FsmState:
@@ -324,6 +343,14 @@ def errors_run(spark, turns, cfg=None, skip_duplicate=True, model_indexes_bc=Non
     occurrence by (conv_id, turn_idx, sub_idx)), fixed 0.5 distance.
     With model_indexes_bc (broadcast {group: SparseIndex}), anomalies are
     post-filtered by the model (report_errors, model.rs:755-790).
+
+    Ansible sources (is_ansible_source on the conv id) follow the
+    reference's special-casing (errors.rs:289-294, process.rs:93-99,
+    filter.rs:40): they neither consult nor feed the global dedup
+    (skip_lines = None — every error emits, and their token-sets don't
+    claim first-occurrence for other sources), and the model filter runs
+    with check_before=True (an anomaly whose before-context is novel
+    survives even when its error line matches the baseline).
     """
     from pyspark.sql import functions as F
 
@@ -333,9 +360,14 @@ def errors_run(spark, turns, cfg=None, skip_duplicate=True, model_indexes_bc=Non
     cfg = cfg or P.PipelineConfig()
     parsed = P.parse(turns, cfg)
     candidates = error_candidates(parsed)
+    _src_name = F.substring_index("conv_id", "/", -1)
+    ansible_expr = F.col("conv_id").contains("/") & (
+        _src_name.startswith("job-output") | _src_name.contains("ansible")
+    )
     if skip_duplicate:
         gl = (
-            candidates.groupBy("dkey")
+            candidates.filter(~ansible_expr)
+            .groupBy("dkey")
             .agg(F.min(F.struct("conv_id", "turn_idx", "sub_idx")).alias("g"))
             .select(
                 F.col("g.conv_id").alias("_g_conv"),
@@ -361,16 +393,22 @@ def errors_run(spark, turns, cfg=None, skip_duplicate=True, model_indexes_bc=Non
             drop=True
         )
         texts = pdf["text"].tolist()
-        if skip_duplicate:
+        ansible = len(pdf) > 0 and is_ansible_source(str(pdf["conv_id"].iloc[0]))
+        if skip_duplicate and not ansible:
             emit = pdf["_g_ok"].fillna(False).to_numpy(dtype=bool)
         else:
+            # ansible sources bypass dedup entirely (skip_lines = None,
+            # errors.rs:289-294): every error line emits
             emit = np.ones(len(pdf), dtype=bool)
         anomalies = find_error_anomalies(
             texts,
             pdf["turn_idx"].to_numpy(),
             pdf["is_ignored"].to_numpy(dtype=bool),
             emit_ok=emit,
-            native_ts=None,
+            # the emitted rows carry the turn's NATIVE ts column below;
+            # handing it to the walk skips the per-error-line regex
+            # timestamp parse whose result was discarded here anyway
+            native_ts=pdf["ts"].tolist(),
         )
         if model_indexes_bc is not None and anomalies:
             # report_errors (model.rs:755-790): filter per anomaly against
@@ -383,7 +421,11 @@ def errors_run(spark, turns, cfg=None, skip_duplicate=True, model_indexes_bc=Non
                 by_tool.setdefault(tools[a["idx"]], []).append(a)
             for tool, group in by_tool.items():
                 idx = lookup(idx_map, tool)
-                kept.extend(filter_anomalies(idx, group) if idx is not None else group)
+                kept.extend(
+                    filter_anomalies(idx, group, check_before=ansible)
+                    if idx is not None
+                    else group
+                )
             anomalies = sorted(kept, key=lambda a: a["idx"])
         rows = []
         for a in anomalies:

@@ -23,12 +23,16 @@ def bucket_col(n_buckets: int):
 
 
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str, stage: str) -> set[int]:
-    import os
-
     path = f"{out_dir}/{LINEAGE_SUBDIR}"
-    if not os.path.exists(path):
+    try:
+        # probe through Spark, not os.path: out_dir can live on ANY
+        # filesystem scheme (s3a/hdfs — the design point of this module);
+        # a driver-local exists() check would silently report "nothing
+        # completed" there and a resume would restart from scratch
+        # (round-4 review finding)
+        df = spark.read.parquet(path)
+    except Exception:  # missing path on whichever filesystem backs out_dir
         return set()
-    df = spark.read.parquet(path)
     rows = (
         df.filter((F.col("run_id") == run_id) & (F.col("stage") == stage))
         .select("partition_id")
@@ -91,8 +95,28 @@ def run_routed_with_resume(
     routed = route(
         todo.drop("bucket"), cfg, conv_sizes=conv_sizes, clean_split=False
     ).withColumn("bucket", bucket_col(n_buckets))
-    routed.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/routed")
-    lineage_rows(routed, run_id, "route").write.mode("append").parquet(
+    # bucket-idempotent sink (round-4 review): dynamic partition OVERWRITE
+    # instead of append — a crash between the data write and the lineage
+    # record below leaves the bucket uncommitted, and the resume then
+    # REPLACES that bucket's partition instead of appending a duplicate
+    # copy. The lineage record is the commit point; the sink write is
+    # repeatable.
+    (
+        routed.write.mode("overwrite")
+        .partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{out_dir}/routed")
+    )
+    # checksum WHAT WAS WRITTEN: reading the sink back (pruned to the
+    # buckets this invocation processed) both avoids re-running the whole
+    # upstream DAG a second time just for the lineage aggregation and
+    # guarantees the recorded checksum describes the bytes in the sink,
+    # not a potentially distinct re-evaluation
+    sink = spark.read.parquet(f"{out_dir}/routed")
+    new_part = sink.filter(~F.col("bucket").isin(list(done))) if done else sink
+    if _bucket_filter is not None:
+        new_part = new_part.filter(F.col("bucket").isin(list(_bucket_filter)))
+    lineage_rows(new_part, run_id, "route").write.mode("append").parquet(
         f"{out_dir}/{LINEAGE_SUBDIR}"
     )
     return spark.read.parquet(f"{out_dir}/routed")

@@ -32,7 +32,13 @@ def score_stream(
     """Start a streaming query routing each micro-batch of turns.
 
     stream_df: a streaming DataFrame in the TURNS shape (readStream).
-    Returns the StreamingQuery; sinks land under out_dir/{anomalies,normal}.
+    Returns the StreamingQuery; the sink lands under out_dir/routed,
+    partitioned by (epoch_id, route). foreachBatch is at-least-once: a
+    crash between the parquet commit and the checkpoint commit log
+    replays the epoch, so the write is made IDEMPOTENT by dynamic
+    partition overwrite on epoch_id — a replayed epoch replaces its own
+    partition instead of appending a duplicate copy (the standard
+    foreachBatch exactly-once recipe).
     """
     indexes = model_mod.collect_indexes(model_df)
     bc = model_mod.broadcast_indexes(spark, indexes)
@@ -47,8 +53,9 @@ def score_stream(
         )
         (
             routed.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .partitionBy("route")
+            .write.mode("overwrite")
+            .partitionBy("epoch_id", "route")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(f"{out_dir}/routed")
         )
 
@@ -155,19 +162,37 @@ def stateful_route(
         gap = st["last_ctx_gap"]
         out_rows = []
         indexes = bc_indexes.value
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["turn_idx"], kind="stable")
-            for r in pdf.itertuples(index=False):
+        # one GLOBAL sort over the group's whole micro-batch: the iterator
+        # yields multiple Arrow chunks in arbitrary shuffle order, so
+        # sorting each chunk independently (the round-4 review finding)
+        # would walk turns out of order across chunk boundaries whenever a
+        # conversation's batch data spans more than one chunk
+        chunks = [c for c in pdfs if len(c)]
+        batch = (
+            _pd.concat(chunks, ignore_index=True).sort_values(
+                ["turn_idx"], kind="stable"
+            )
+            if chunks
+            else _pd.DataFrame(columns=["conv_id", "turn_idx", "tool", "text"])
+        )
+        if len(batch):
+            for r in batch.itertuples(index=False):
                 text = r.text
+                # batch-engine parity (enrich is_known / route): rows of
+                # tools ABSENT from a multi-index model are "unknown" —
+                # excluded from dedup, scoring AND contexts (the batch
+                # context walk only sees known rows). lookup's single-index
+                # fallback keeps every tool known for one-index models.
+                idx = lookup(indexes, r.tool)
+                if idx is None:
+                    continue
                 tokens = process(text)
                 k = dedup_key(tokens)
                 is_new = k not in seen
                 score = np.float32(0.0)
                 if is_new:
                     seen.add(k)
-                    idx = lookup(indexes, r.tool)
-                    if idx is not None:
-                        score = idx.score([tokens])[0]
+                    score = idx.score([tokens])[0]
                 is_anomaly = is_new and score > thr
                 if is_anomaly:
                     if open_a is not None:

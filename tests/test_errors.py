@@ -205,3 +205,28 @@ def test_fsm_needmore_closes_open_anomaly():
     # traceback body in its before-context
     assert a[1]["line"] == "Err: y"
     assert a[1]["before"] == ["Traceback (most recent call last):", "  x"]
+
+
+def test_go_panic_mid_line_tab_check_matches_reference():
+    """round-4 review: errors_parser.rs:130-145 slices l = &line[pos..]
+    then tests l.chars().nth(pos) — the tab call-location check reads
+    index pos WITHIN the slice. For a panic found at pos>0 (prefixed CI
+    logs) a tab-indented call location must COMPLETE the traceback (the
+    slice's nth(pos) is not the tab), not keep consuming."""
+    from logjuicer_spark.errors import COMPLETED, NEED_MORE, FsmState
+
+    fsm = FsmState()
+    assert fsm.parse("ts | panic: runtime error: oops") == NEED_MORE
+    assert fsm.parse("") == NEED_MORE  # header -> routine (empty separator)
+    assert fsm.parse("ts | goroutine 1 [running]:") == NEED_MORE  # -> threads
+    assert fsm.parse("ts | main.main()") == NEED_MORE  # function call
+    assert fsm.parse("ts | \t/go/src/main.go:12") == COMPLETED
+
+
+def test_is_ansible_source():
+    from logjuicer_spark.errors import is_ansible_source
+
+    assert is_ansible_source("ci/logs/job-output.txt")
+    assert is_ansible_source("build.tar.gz?entry=x/ansible-run.log")
+    assert not is_ansible_source("job-output.txt")  # no '/': rsplit fails
+    assert not is_ansible_source("ci/logs/service.log")

@@ -67,3 +67,34 @@ def test_errors_run_with_model_filter(spark):
     texts = [r.text for r in out]
     assert any("totally novel breakage" in t for t in texts)
     assert not any("rc=2" in t for t in texts)  # matches baseline -> filtered
+
+
+def test_ansible_sources_skip_dedup_and_keep_others(spark):
+    """round-4 review / errors.rs:289-294: ansible sources neither consult
+    nor feed the global dedup — every error emits from them, and their
+    token-sets don't claim first-occurrence for other sources."""
+    from logjuicer_spark import errors as E
+
+    err = "ERROR 1234 database exploded during checkpoint replay"
+    pad = "routine heartbeat message with stable content and padding"
+
+    def turn(conv, i, text):
+        return {"conv_id": conv, "turn_idx": i, "role": "tool",
+                "tool": "bash", "ts": None, "text": text}
+
+    rows = (
+        [turn("ci/job-output.txt", i, t) for i, t in
+         enumerate([err, pad, err], start=1)]
+        + [turn("svc-log", i, t) for i, t in
+           enumerate([err, pad, err], start=1)]
+    )
+    from logjuicer_spark import gen
+    out = E.errors_run(spark, gen.to_spark_df(spark, rows)).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r.turn_idx)
+    # ansible conv: BOTH occurrences (no dedup)
+    assert sorted(by_conv.get("ci/job-output.txt", [])) == [1, 3]
+    # plain conv: its own first occurrence still emits (the ansible conv
+    # did not claim the token-set), duplicates within it dedup
+    assert sorted(by_conv.get("svc-log", [])) == [1]

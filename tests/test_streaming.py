@@ -176,3 +176,72 @@ def test_stateful_route_quiescence_flush(spark):
         assert spark.sql("select * from squiesce").count() == 1
     finally:
         q.stop()
+
+
+def test_stateful_route_multichunk_group_order(spark):
+    """round-4 review: a group's micro-batch spanning multiple Arrow
+    chunks must be sorted GLOBALLY before the walk — per-chunk sorting
+    processes turns out of order across chunk boundaries. Forced here via
+    a 2-row Arrow batch cap and a shuffled input file order."""
+    import time
+    from logjuicer_spark import model as M
+    from logjuicer_spark.streaming import stateful_route
+    from logjuicer_spark.schemas import TURNS
+
+    baseline_rows, _, _ = gen.generate_corpus(
+        n_baseline_convs=3, n_target_convs=1, turns_per_conv=25, seed=6
+    )
+    model_df = pipeline.train_model(spark, gen.to_spark_df(spark, baseline_rows))
+    bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
+
+    in_dir = tempfile.mkdtemp(prefix="sstream_mc_")
+    ckpt = tempfile.mkdtemp(prefix="sstream_mc_ck_")
+
+    def turn(i, text):
+        return {"conv_id": "cM", "turn_idx": i, "role": "tool", "text": text,
+                "tool": "bash", "ts": None}
+
+    lines = {
+        1: "cache lookup for bucket amber returned 3 entries with hit ratio stable behaviour",
+        2: "writing scratch file /tmp/build-9f3a2b1c/output.log with 55 bytes payload done",
+        3: "FATAL disk corruption detected on volume omegastream sector unreadable halting",
+        4: "configuration reload finished successfully revision abcd1234 applied across 3 workers smoothly",
+        5: "scheduler assigned task copper onto node compute-3 with affinity score 9 points",
+        6: "cache lookup for bucket maroon returned 9 entries with hit ratio stable behaviour",
+    }
+    # shuffled write order so chunk boundaries do not coincide with turn order
+    order = [5, 2, 6, 3, 1, 4]
+    gen.to_spark_df(spark, [turn(i, lines[i]) for i in order]).coalesce(1).write.parquet(
+        f"{in_dir}/b1"
+    )
+
+    old_cap = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(TURNS).parquet(f"{in_dir}/*")
+        q = (
+            stateful_route(stream, bc)
+            .writeStream.format("memory")
+            .queryName("sanoms_mc")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        rows = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("select * from sanoms_mc").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_cap)
+    assert len(rows) == 1
+    a = rows[0]
+    assert a.turn_idx == 3 and "FATAL disk corruption" in a.text
+    assert a.before == [lines[1], lines[2]]
+    assert a.after == [lines[4], lines[5], lines[6]]
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
