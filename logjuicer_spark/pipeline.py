@@ -504,6 +504,13 @@ def _route_single(
     if dirty_conv_dim is not None:
         dirty_dim = dirty_conv_dim
         n_dirty = dirty_dim.count()
+        if callable(n_convs):
+            # the conv total costs a parsed-cache/checkpoint column scan
+            # (measured 0.3-0.8s at sf0.1): only pay it when the dirty dim
+            # is big enough for the fraction guard to plausibly trip — a
+            # tiny dim cannot cover 20% of a meaningful conv universe, and
+            # at toy scale a mis-chosen split costs less than the scan
+            n_convs = n_convs() if n_dirty > 64 else None
     else:
         stats = sel.agg(
             F.approx_count_distinct(
@@ -967,7 +974,7 @@ def run(
             # guard that keeps anomaly-DENSE corpora on the single pandas
             # pass) is one narrow scan over the CACHED parsed rows.
             dirty_conv_dim = _dirty_conv_dim(scored, cfg)
-            n_convs = int(
+            n_convs = lambda: int(
                 parsed_t.agg(
                     F.approx_count_distinct("conv_id").alias("n")
                 ).first()["n"]
@@ -1038,7 +1045,7 @@ def run(
     # re-evaluate the full enriched plan (checkpoint scan + both broadcast
     # joins) once more just to make this decision
     dirty_conv_dim = _dirty_conv_dim(scored, cfg)
-    n_convs = int(
+    n_convs = lambda: int(
         parsed.agg(F.approx_count_distinct("conv_id").alias("n")).first()["n"]
     )
     # monster-conv probe, cheapest-first: a count-star over the checkpoint
