@@ -49,6 +49,22 @@ def _cfg(args) -> "PipelineConfig":
     )
 
 
+def _fileset(args):
+    """The resolved target config's FileSetConfig for file-world inputs
+    (is_source_valid applies the matcher's includes/excludes to sources,
+    config.rs — a round-4 review found the CLI dropping them and always
+    using the defaults for --input-format logs/tar)."""
+    if getattr(args, "config", None):
+        from .targetconfig import Config
+
+        return Config.from_path(args.config).get_target_config(
+            getattr(args, "job_name", None)
+        ).fileset
+    from .config import FileSetConfig
+
+    return FileSetConfig()
+
+
 def human_duration(seconds: float) -> str:
     """X7 (cli/main.rs:842-854): 320ms / 2.30s / 1m30s / 42h00m."""
     secs = int(seconds)
@@ -165,11 +181,11 @@ def main(argv=None):
         fmt = getattr(args, "input_format", "table")
         if fmt == "table":
             return read_table(spark, ident)
-        from .config import FileSetConfig
         from . import sources
 
-        # file-world inputs get the F1 default excludes, like the reference
-        fileset = FileSetConfig()
+        # file-world inputs get the resolved config's fileset (per-job
+        # includes/excludes layered on the F1 defaults, like the reference)
+        fileset = _fileset(args)
         if fmt == "logs":
             return sources.turns_from_files(spark, ident, fileset=fileset)
         return sources.turns_from_tarballs(spark, ident, fileset=fileset)
@@ -194,7 +210,7 @@ def main(argv=None):
         out = pipeline.run(
             spark, read_input(args.target), model_df=model_df, cfg=cfg
         )
-        _write_outputs(out, args.out)
+        _write_outputs(out, args.out, t0)
         totals = out["totals"].collect()[0]
         status.update(
             lines=totals.total_line_count, anomalies=totals.total_anomaly_count
@@ -202,7 +218,12 @@ def main(argv=None):
     elif args.cmd == "train":
         model_df = pipeline.train_model(spark, read_input(args.baseline), cfg)
         M.save(model_df, args.model)
-        status.update(groups=model_df.select("group_key").distinct().count())
+        # count from the just-written sink (a pruned scan), not model_df —
+        # whose lineage would re-run the tokenize UDF and the whole model
+        # build a second time just for this counter
+        status.update(
+            groups=M.load(spark, args.model).select("group_key").distinct().count()
+        )
     elif args.cmd == "errors":
         from .errors import errors_run
 
@@ -215,7 +236,7 @@ def main(argv=None):
             spark, read_input(args.target), cfg, model_indexes_bc=bc
         )
         write_table(out, f"{args.out}/errors")
-        status.update(anomalies=out.count())
+        status.update(anomalies=read_table(spark, f"{args.out}/errors").count())
     elif args.cmd == "similarity":
         from functools import reduce
 
@@ -235,7 +256,7 @@ def main(argv=None):
         )
         rep = similarity_report(labeled)
         write_table(rep, f"{args.out}/similarity")
-        status.update(groups=rep.count())
+        status.update(groups=read_table(spark, f"{args.out}/similarity").count())
     elif args.cmd == "check-model":
         M.load(spark, args.model, max_age_days=args.max_age_days)
         status.update(ok=True)

@@ -43,6 +43,27 @@ class FileSetConfig:
             return tuple(self.excludes) + tuple(DEFAULT_EXCLUDES)
         return tuple(self.excludes)
 
+    # constructs whose semantics differ (or fail) between Python re and
+    # Java regex: named groups/backrefs (?P<, (?P=), comments (?#, Python
+    # conditional groups (?(..., and possessive quantifiers (Java-only,
+    # so a Python-validated pattern never contains them — but the reverse
+    # direction, \\p{...} property classes, parses in Java only)
+    _NONPORTABLE = ("(?P<", "(?P=", "(?#", "(?(", "\\p{", "\\A", "\\Z")
+
+    def _warn_nonportable(self) -> None:
+        import logging
+
+        for p in tuple(self.includes) + tuple(self.excludes):
+            for marker in self._NONPORTABLE:
+                if marker in p:
+                    logging.getLogger(__name__).warning(
+                        "fileset pattern %r uses %r, which Python re and "
+                        "the JVM regexp_like interpret differently — the "
+                        "driver-side and executor-side file sets may "
+                        "disagree; restrict patterns to the portable "
+                        "subset", p, marker,
+                    )
+
     def is_fp_valid(self, relative: str) -> bool:
         """config.rs:197-205: match against the path with .gz stripped."""
         fp = relative
@@ -54,7 +75,17 @@ class FileSetConfig:
 
     def filter_sources(self, df: DataFrame, source_col: str = "source") -> DataFrame:
         """DataFrame predicate form — Catalyst pushes the regexps to the
-        scan, the file-pruning analog of the reference's pre-open check."""
+        scan, the file-pruning analog of the reference's pre-open check.
+
+        ENGINE CONTRACT: is_fp_valid evaluates patterns with Python ``re``
+        (driver/executor side) while this form compiles them to Java regex
+        (regexp_like) — the same FileSetConfig must therefore stick to the
+        portable common subset (literals, anchors, classes, alternation —
+        everything DEFAULT_EXCLUDES and the reference's Rust-regex configs
+        use). _warn_nonportable flags the known-divergent constructs at
+        plan-build time so a config that would silently match differently
+        (or throw mid-job) is caught here, not in a task."""
+        self._warn_nonportable()
         fp = F.regexp_replace(F.col(source_col), "(\\.gz)+$", "")
         cond = F.lit(True)
         if self.includes:

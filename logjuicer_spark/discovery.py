@@ -15,8 +15,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 BUILDS_COLS = (
-    "uuid project branch pipeline change ref_url voting log_url end_time result"
-)
+    "uuid project branch pipeline change ref_url voting log_url end_time "
+    "result job_name"
+)  # job_name drives discover_baselines_per_job's join (zuul.rs per-job query)
 
 
 def baseline_score(target, candidates: DataFrame, now_col=None) -> DataFrame:

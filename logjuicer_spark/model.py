@@ -178,7 +178,18 @@ def load(spark: SparkSession, path: str, max_age_days: float | None = None) -> D
     from .storage import read_table
 
     df = read_table(spark, path)
-    bad = df.filter(F.col("model_version") != MODEL_VERSION).limit(1).count()
+    if df.limit(1).count() == 0:
+        # the reference refuses a model whose version cookie cannot be
+        # read (model.rs:806-816); an empty table has no cookie at all
+        raise ValueError(f"model at {path} is empty (no version cookie to validate)")
+    # NULL-safe comparison: `!=` evaluates to NULL for NULL model_version
+    # rows, which the filter would silently drop — letting a partially
+    # written model pass validation (round-4 review finding)
+    bad = (
+        df.filter(~F.col("model_version").eqNullSafe(F.lit(MODEL_VERSION)))
+        .limit(1)
+        .count()
+    )
     if bad:
         raise ValueError(f"model at {path} has a different model_version (want {MODEL_VERSION})")
     if max_age_days is not None:
@@ -222,9 +233,28 @@ def merge(model_dfs: list[DataFrame]) -> DataFrame:
             F.max("created_at").alias("created_at"),
         )
     )
-    w_first = unioned.groupBy("group_key", "indices", "values").agg(
-        F.min(F.struct("m_ord", "row_id")).alias("w")
+    # nub_vstack parity (vstack.rs:38-41): rows of the FIRST model append
+    # unconditionally — duplicates WITHIN model 0 are all kept — while a
+    # later model's row survives iff its (indices, values) payload equals
+    # no previously-accepted row (model 0's rows, or an earlier first
+    # occurrence among the later models). A round-4 review found the old
+    # global first-occurrence dedup also collapsing model-0-internal
+    # duplicates, drifting merged row ids from the reference.
+    keep0 = unioned.filter(F.col("m_ord") == 0).select(
+        "group_key", "indices", "values",
+        F.struct("m_ord", "row_id").alias("w"),
     )
+    later_first = (
+        unioned.filter(F.col("m_ord") > 0)
+        .groupBy("group_key", "indices", "values")
+        .agg(F.min(F.struct("m_ord", "row_id")).alias("w"))
+    )
+    kept_later = later_first.join(
+        keep0.select("group_key", "indices", "values").distinct(),
+        on=["group_key", "indices", "values"],
+        how="left_anti",
+    )
+    w_first = keep0.unionByName(kept_later)
     from pyspark.sql import Window
 
     order = Window.partitionBy("group_key").orderBy("w.m_ord", "w.row_id")

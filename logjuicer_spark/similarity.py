@@ -55,7 +55,16 @@ def similarity_report(labeled_anomalies: DataFrame, group_col: str = "tool") -> 
     # the first occurrence's own source, plus sources from strictly later
     # targets (similarity.rs:105-114)
     contrib = j.filter(is_first | (F.col("target_id") > F.col("first_target")))
-    return (
+    # reference ordering (similarity.rs:42-44): GROUPS sort by the group's
+    # own source count (sorted_by_key(-slr.sources.len())) — the distinct
+    # (target, conversation) log reports contributing to the index group —
+    # so a group's rows stay contiguous in the sink. A round-4 review found
+    # this transcribed as per-anomaly n_sources ordering, which interleaves
+    # groups. The group total orders; it is not part of the output schema.
+    group_sources = a.groupBy("group").agg(
+        F.count_distinct(F.struct("target_id", "conv_id")).alias("_group_sources")
+    )
+    rows = (
         contrib.groupBy("group", "tokens")
         .agg(
             F.min(F.struct("first_target", "first_conv", "first_turn")).alias("f"),
@@ -77,5 +86,9 @@ def similarity_report(labeled_anomalies: DataFrame, group_col: str = "tool") -> 
             F.array_sort("sources").alias("sources"),
             F.size("sources").alias("n_sources"),
         )
-        .orderBy(F.desc("n_sources"), "group", "tokens")
+    )
+    return (
+        rows.join(F.broadcast(group_sources), "group")
+        .orderBy(F.desc("_group_sources"), "group", F.desc("n_sources"), "tokens")
+        .drop("_group_sources")
     )

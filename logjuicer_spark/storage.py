@@ -13,7 +13,7 @@ Identifiers containing '/' are treated as parquet paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _is_path(ident: str) -> bool:
@@ -38,8 +38,22 @@ def write_table(
             w = w.partitionBy(*partition_by)
         w.parquet(ident)
     else:
+        if mode not in ("overwrite", "append"):
+            # fail loudly: silently appending under error/ignore semantics
+            # corrupts the table the caller asked NOT to touch
+            raise ValueError(
+                f"write_table mode {mode!r} is not supported for catalog "
+                f"tables (use 'overwrite' or 'append')"
+            )
         w = df.writeTo(ident)
         if mode == "overwrite":
+            if partition_by:
+                # requested layout must reach the catalog table too (the
+                # parquet branch honors it; dropping it silently created
+                # unpartitioned tables — round-4 review finding).
+                # partitionedBy applies to create/replace only; appends
+                # inherit the existing table's layout.
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
         else:
             w.append()

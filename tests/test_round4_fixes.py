@@ -113,3 +113,99 @@ def test_known_groups_dim_single_index_covers_target_tools(spark):
         r.group_key for r in _known_groups_dim(model_multi, parsed).collect()
     )
     assert got_multi == ["bash", "python"]
+
+
+# ------------------------- third review round (model/similarity/ts/cli) --
+
+
+def test_model_load_rejects_empty_and_null_version(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from logjuicer_spark.model import MODEL, load
+
+    empty = str(tmp_path / "empty_model")
+    spark.createDataFrame([], MODEL).write.parquet(empty)
+    with pytest.raises(ValueError, match="empty"):
+        load(spark, empty)
+
+    nullver = str(tmp_path / "nullver_model")
+    fields = [
+        T.StructField(f.name, T.StringType() if f.name == "model_version" else f.dataType)
+        for f in MODEL.fields
+    ]
+    row = {f.name: None for f in MODEL.fields}
+    row.update(group_key="g", row_id=0, indices=[1], values=[1.0])
+    spark.createDataFrame([tuple(row[f.name] for f in MODEL.fields)],
+                          T.StructType(fields)).write.parquet(nullver)
+    with pytest.raises(ValueError, match="model_version"):
+        load(spark, nullver)
+
+
+def test_merge_keeps_first_model_internal_duplicates(spark):
+    """nub_vstack parity (vstack.rs:38-41): rows of the FIRST matrix append
+    unconditionally (internal duplicates kept); later models dedup against
+    everything already accepted."""
+    import datetime as dt
+
+    from logjuicer_spark.model import MODEL, MODEL_VERSION, merge
+
+    now = dt.datetime.now(dt.timezone.utc)
+
+    def mk(rows, lc, bc):
+        return spark.createDataFrame(
+            [("g", i, inds, vals, MODEL_VERSION, now, lc, bc)
+             for i, (inds, vals) in enumerate(rows)],
+            MODEL,
+        )
+
+    dup = ([1, 2], [1.0, -1.0])
+    a = mk([dup, dup, ([3], [1.0])], 10, 100)       # internal duplicate
+    b = mk([dup, ([4], [-1.0])], 5, 50)             # dup vs A + one new
+    got = sorted(
+        (r.row_id, tuple(r.indices)) for r in merge([a, b]).collect()
+    )
+    # A keeps BOTH duplicate rows; B contributes only [4]
+    assert [t for _, t in got] == [(1, 2), (1, 2), (3,), (4,)]
+    meta = merge([a, b]).select("line_count", "byte_count").first()
+    assert (meta.line_count, meta.byte_count) == (15, 150)
+
+
+def test_timestamp_unpadded_and_leap_second():
+    from logjuicer_spark.timestamps import FULL, TIME, parse_timestamp
+
+    # chrono numeric specifiers accept 1-2 digits
+    k, v = parse_timestamp("2024-2-7 9:15:54 worker ready")
+    assert k == FULL
+    import calendar
+    assert v == calendar.timegm((2024, 2, 7, 9, 15, 54)) * 1000
+    # leap second lands in the next minute's .000 (+1000ms), not a clamp
+    k59, v59 = parse_timestamp("2024-01-01 23:59:59")
+    k60, v60 = parse_timestamp("2024-01-01 23:59:60")
+    assert v60 - v59 == 1000
+    # syslog TIME path too
+    _, t60 = parse_timestamp("Feb 27 11:06:60 ")
+    _, t59 = parse_timestamp("Feb 27 11:06:59 ")
+    assert t60 - t59 == 1000
+
+
+def test_similarity_orders_by_group_source_count(spark):
+    """similarity.rs:42-44: GROUPS order by their own source count, rows
+    of one group contiguous — not interleaved by per-anomaly n_sources."""
+    from logjuicer_spark.similarity import similarity_report
+
+    rows = [
+        # group big: 3 sources, but its second anomaly appears in 1 source
+        dict(target_id=0, conv_id="a", turn_idx=1, sub_idx=0, tool="big",
+             text="x", tokens="x"),
+        dict(target_id=1, conv_id="b", turn_idx=1, sub_idx=0, tool="big",
+             text="x2", tokens="x"),
+        dict(target_id=2, conv_id="c", turn_idx=1, sub_idx=0, tool="big",
+             text="y", tokens="y"),
+        # group small: 2 sources, single anomaly in both
+        dict(target_id=0, conv_id="d", turn_idx=1, sub_idx=0, tool="small",
+             text="z", tokens="z"),
+        dict(target_id=1, conv_id="e", turn_idx=1, sub_idx=0, tool="small",
+             text="z2", tokens="z"),
+    ]
+    out = similarity_report(spark.createDataFrame(rows)).collect()
+    assert [r.group for r in out] == ["big", "big", "small"]
