@@ -920,7 +920,10 @@ ORACLE_SQL.update(
             " SELECT l.id AS id_a, r.id AS id_b,"
             "  ROUND(list_cosine_similarity(l.v, r.v), 4) AS cos_sim"
             " FROM e l JOIN e r ON l.bucket = r.bucket AND l.id < r.id"
-            " WHERE ROUND(list_cosine_similarity(l.v, r.v), 4) >= 0.98"
+            # zero-norm exclusion mirrors embedding_verify's NaN guard
+            " WHERE list_dot_product(l.v, l.v) > 0"
+            "  AND list_dot_product(r.v, r.v) > 0"
+            "  AND ROUND(list_cosine_similarity(l.v, r.v), 4) >= 0.98"
         ),
         "q_ann_ivf": (
             f"WITH c AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/ivf_cells.parquet/*.parquet')),"
@@ -929,6 +932,8 @@ ORACLE_SQL.update(
             " SELECT c.vec_id AS id, ROUND(list_cosine_similarity(c.embedding, q.qv), 4)"
             "  AS cos_sim"
             " FROM c, q WHERE c.cell IN (SELECT cell FROM p)"
+            # zero-norm exclusion mirrors ivf_search's NaN guard
+            "  AND list_dot_product(c.embedding, c.embedding) > 0"
             " ORDER BY cos_sim DESC, id LIMIT 20"
         ),
         "q_errors_report": (

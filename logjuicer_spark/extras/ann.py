@@ -22,13 +22,30 @@ def _cos_cols(vcol, qcol):
     return dot / (n1 * n2)
 
 
+def _sqnorm(vcol):
+    return F.aggregate(vcol, F.lit(0.0), lambda s, x: s + x * x)
+
+
+def _check_query(query_vec):
+    """A zero query has no defined cosine to anything; 0/0 is NaN and
+    Spark sorts NaN ABOVE every number, so without this guard garbage
+    rows would fill the entire top-k (round-4 review finding)."""
+    if not any(float(x) != 0.0 for x in query_vec):
+        raise ValueError("ANN query vector has zero norm (cosine undefined)")
+
+
 def brute_force_topk(
     emb: DataFrame, query_vec, k: int = 10, id_col="vec_id", vec_col="embedding"
 ) -> DataFrame:
+    _check_query(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
+    # zero-norm rows (padding / failed encodes) are EXCLUDED: their cosine
+    # is NaN, which Spark orders above all numbers — they would otherwise
+    # dominate the top-k. The SQL oracles carry the same norm predicate.
     return (
-        emb.select(F.col(id_col).alias("id"), F.round(_cos_cols(v, q), 4).alias("cos_sim"))
+        emb.filter(_sqnorm(v) > 0)
+        .select(F.col(id_col).alias("id"), F.round(_cos_cols(v, q), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "id")
         .limit(k)
     )
@@ -51,6 +68,8 @@ def train_centroids(emb: DataFrame, n_cells: int = 16, vec_col="embedding",
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        raise ValueError("no embeddings to train on")
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -170,10 +189,12 @@ def ivf_search(
 ) -> DataFrame:
     """Prune to the probed cells, exact cosine top-k within them (pure JVM
     expressions — the pruning filter pushes down to the cell column)."""
+    _check_query(query_vec)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
     return (
         cells.filter(F.col("cell").isin(probe))
+        .filter(_sqnorm(v) > 0)  # NaN-cosine guard, see brute_force_topk
         .select(F.col(id_col).alias("id"), F.round(_cos_cols(v, qcol), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "id")
         .limit(k)

@@ -36,10 +36,16 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None
     run when a cap is requested)."""
     if max_bucket_size is None:
         return banded
+    # persist: the oversized aggregation feeds BOTH the stats probe below
+    # and the anti-join broadcast in the returned plan — uncached it would
+    # run the full groupBy over banded twice (round-4 review finding).
+    # The dim is bounded by n_rows/max_bucket_size; released when the
+    # Spark context cleans the out-of-scope reference.
     oversized = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket_size)
+        .persist()
     )
     stats = oversized.agg(
         F.count(F.lit(1)).alias("nb"), F.coalesce(F.sum("_bsz"), F.lit(0)).alias("nr")
@@ -87,8 +93,22 @@ def minhash_signatures(
         out = []
         for t in texts:
             x = _shingle_hashes(t or "", shingle_k)
-            # (n_hashes x n_shingles) in uint64 modular space
-            m = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+            # EXACT (a*x + b) mod M, M = 2^61-1: the plain uint64 product
+            # a*x reaches 2^93 and would silently wrap mod 2^64 first
+            # (round-4 review, verified numerically), voiding the
+            # min-wise-independence guarantee the docstring promises.
+            # Split a = a1*2^32 + a0 (x < 2^32, so each partial product is
+            # exact in uint64) and reduce t*2^32 mod M via the Mersenne
+            # identity t*2^32 = (t >> 29)*M + (t >> 29) + ((t & (2^29-1)) << 32).
+            a1 = a[:, None] >> np.uint64(32)
+            a0 = a[:, None] & np.uint64(0xFFFFFFFF)
+            t_hi = a1 * x[None, :]  # < 2^61, exact
+            hi_mod = (t_hi >> np.uint64(29)) + (
+                (t_hi & np.uint64((1 << 29) - 1)) << np.uint64(32)
+            )
+            lo = a0 * x[None, :]  # < 2^64, exact
+            lo_mod = (lo >> np.uint64(61)) + (lo & np.uint64(_MERSENNE))
+            m = (hi_mod + lo_mod + b[:, None]) % _MERSENNE
             out.append(m.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
@@ -109,7 +129,22 @@ def minhash_lsh_pairs(
     banding). The key is ~40 bytes instead of an 8-byte hash; band rows are
     a transient shuffle, so exactness wins over the few extra bytes.
     """
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    head = sigs.select("sig").first()
+    if head is None:  # empty input: empty pairs frame, no crash
+        return sigs.limit(0).select(
+            F.col("id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0.0).alias("est_jaccard"),
+        )
+    n_hashes = len(head["sig"])
+    if bands <= 0 or n_hashes % bands != 0:
+        # no silent caps: bands > n_hashes would make every band slice
+        # empty ('' buckets -> a full n^2 cross join), and a non-divisible
+        # band count silently drops tail hashes from the banding
+        raise ValueError(
+            f"bands={bands} must evenly divide the signature length "
+            f"({n_hashes})"
+        )
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id",
@@ -336,7 +371,14 @@ def embedding_buckets(
     """(id, v, bucket): random-hyperplane sign bucket per embedding (the
     Arrow-batched half of embedding_near_dup; the verify half is a plain
     bucket join, so staging this output lets a SQL oracle check it)."""
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None:  # empty input: empty (id, v, bucket) frame, no crash
+        return emb.limit(0).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.lit(0).cast("long").alias("bucket"),
+        )
+    dim = len(head[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
 
@@ -357,8 +399,15 @@ def embedding_buckets(
 def embedding_verify(
     e: DataFrame, threshold: float = 0.95, max_bucket_size: int | None = None
 ) -> DataFrame:
-    """Exact-cosine verification of bucket-colliding embedding pairs."""
-    e = _cap_buckets(e, ["bucket"], max_bucket_size)
+    """Exact-cosine verification of bucket-colliding embedding pairs.
+
+    Zero-norm vectors are EXCLUDED before pairing: their cosine is 0/0 =
+    NaN, and Spark evaluates NaN >= threshold as TRUE (NaN sorts above
+    every number), so without the guard every (zero-vec, other) bucket
+    pair would be reported as a confirmed near-duplicate (round-4 review
+    finding). The SQL oracle carries the same norm predicate."""
+    sq = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    e = _cap_buckets(e.filter(sq > 0), ["bucket"], max_bucket_size)
     l, r = e.alias("l"), e.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),

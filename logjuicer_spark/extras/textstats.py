@@ -132,14 +132,23 @@ def fingerprint(
     return df.select(F.col(id_col).alias("id"), _fp(F.col(text_col)).alias("fingerprints"))
 
 
-def fingerprint_pairs(sigs: DataFrame, min_shared: int = 2) -> DataFrame:
+def fingerprint_pairs(
+    sigs: DataFrame, min_shared: int = 2, max_bucket_size: int | None = None
+) -> DataFrame:
     """Clone-pair join over winnowing fingerprints: (id_a, id_b, shared_count)
     for doc pairs sharing >= min_shared fingerprints, id_a < id_b.
 
     Shape: explode -> groupBy(fp) bucket join -> pair aggregation. Only docs
     colliding on a fingerprint value meet, so candidate volume is bounded by
-    bucket sizes (same scale discipline as the MinHash/SimHash suite)."""
+    bucket sizes (same scale discipline as the MinHash/SimHash suite).
+    ``max_bucket_size`` applies dedup._cap_buckets to the fp buckets: one
+    hot fingerprint (the crc of an empty/boilerplate fragment shared by n
+    docs) otherwise turns its bucket self-join quadratic — same guard, same
+    logged-exclusion semantics as the MinHash/SimHash caps."""
+    from .dedup import _cap_buckets
+
     ex = sigs.select("id", F.explode("fingerprints").alias("fp")).distinct()
+    ex = _cap_buckets(ex, ["fp"], max_bucket_size)
     l, r = ex.alias("l"), ex.alias("r")
     return (
         l.join(r, on=[F.col("l.fp") == F.col("r.fp"), F.col("l.id") < F.col("r.id")])

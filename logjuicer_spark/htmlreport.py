@@ -42,9 +42,14 @@ def render_html(out: dict, max_anomalies: int = 5000) -> str:
     totals = out["totals"].collect()[0]
     tools = [r.asDict() for r in out["agg_tool"].orderBy("tool").collect()]
     order = [r.conv_id for r in out["log_reports"].collect()]
+    # deterministic truncation: anomalies is an unordered filter, so a bare
+    # limit() would keep whichever partitions scan first (different rows
+    # run to run, top-ranked conversations possibly missing). Order by the
+    # stable (conv, turn, sub) key before capping.
     rows = (
         out["anomalies"]
         .select("conv_id", "turn_idx", "sub_idx", "text", "score", "before", "after")
+        .orderBy("conv_id", "turn_idx", "sub_idx")
         .limit(max_anomalies + 1)
         .collect()
     )
@@ -98,5 +103,5 @@ def render_html(out: dict, max_anomalies: int = 5000) -> str:
 
 
 def write_html(out: dict, path: str, max_anomalies: int = 5000) -> None:
-    with open(path, "w") as f:
+    with open(path, "w", encoding="utf-8") as f:
         f.write(render_html(out, max_anomalies))

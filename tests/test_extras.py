@@ -242,3 +242,58 @@ def test_media_real_decode_with_pil(spark):
     assert row.decode_ok is True
     assert len(row.feature) == 16
     assert all(0.0 <= v <= 1.0 for v in row.feature)
+
+
+def test_ann_zero_vector_guards(spark):
+    """round-4 review: zero-norm embeddings yield NaN cosine, which Spark
+    sorts ABOVE every number — they must be excluded from top-k and from
+    near-dup verification, and a zero query must be rejected."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = ann.brute_force_topk(emb, [1.0, 0.0], k=4).collect()
+    assert [r.id for r in top] == [0, 1, 3]  # zero vector excluded, not first
+    with pytest.raises(ValueError, match="zero norm"):
+        ann.brute_force_topk(emb, [0.0, 0.0], k=2)
+
+    pairs = dedup.embedding_near_dup(
+        emb, n_planes=4, threshold=0.5, seed=1
+    ).collect()
+    assert all(2 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_minhash_band_validation_and_empty_inputs(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_lsh_pairs(sigs, bands=5)
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_lsh_pairs(sigs, bands=32)  # bands > n_hashes
+    empty_sigs = sigs.limit(0)
+    assert dedup.minhash_lsh_pairs(empty_sigs, bands=4).count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert dedup.embedding_buckets(empty_emb).count() == 0
+
+
+def test_minhash_exact_mersenne_hash():
+    """The signature hash must be the documented (a*x+b) mod M universal
+    hash — exact big-int arithmetic, no silent uint64 wraparound."""
+    import numpy as np
+
+    from logjuicer_spark.extras.dedup import _MERSENNE, _minhash_params, _shingle_hashes
+
+    a, b = _minhash_params(8)
+    x = _shingle_hashes("some text with shingles", 5)
+    want = np.array(
+        [min((int(ai) * int(xi) + int(bi)) % _MERSENNE for xi in x)
+         for ai, bi in zip(a, b)],
+        dtype=np.int64,
+    )
+    a1 = a[:, None] >> np.uint64(32); a0 = a[:, None] & np.uint64(0xFFFFFFFF)
+    t_hi = a1 * x[None, :]
+    hi_mod = (t_hi >> np.uint64(29)) + ((t_hi & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    lo = a0 * x[None, :]
+    lo_mod = (lo >> np.uint64(61)) + (lo & np.uint64(_MERSENNE))
+    got = ((hi_mod + lo_mod + b[:, None]) % _MERSENNE).min(axis=1).astype(np.int64)
+    assert np.array_equal(got, want)
