@@ -564,6 +564,27 @@ def q_errors_report(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "tool", "text", "score")
 
 
+def q_errors_split(spark, sf_dir):
+    """E3 under the range-split skew guard (round-5): the SAME report as
+    q_errors_report, but produced by the ranged windows (max_task_lines
+    small enough that every conversation splits into several ranges at this
+    scale, pads + warm-up verification live). The staged candidates come
+    from the split path's own window scan, so DuckDB independently
+    re-derives the report from what the split machinery actually computed —
+    and the result must equal the single-task report's rows."""
+    from . import pipeline as P
+    from .errors import errors_run
+
+    t = _errors_turns(spark, sf_dir)
+    cfg = P.PipelineConfig(max_task_lines=40)
+    out, cands = errors_run(
+        spark, t, cfg=cfg, allow_split=True, range_pad=12,
+        return_candidates=True,
+    )
+    _stage(spark, cands, "err_cands_split")
+    return out.select("conv_id", "turn_idx", "tool", "text", "score")
+
+
 def q_similarity_report(spark, sf_dir):
     """J4: cross-target anomaly co-occurrence over two flagship runs. The
     labeled anomaly union (pipeline + tokenizer UDF output) is staged; the
@@ -839,6 +860,7 @@ QUERIES.update(
         "q_fingerprint_pairs": q_fingerprint_pairs,
         "q_ann_ivf": q_ann_ivf,
         "q_errors_report": q_errors_report,
+        "q_errors_split": q_errors_split,
         "q_similarity_report": q_similarity_report,
         "q_score_distributed": q_score_distributed,
         "q_flagship_anomalies": q_flagship_anomalies,
@@ -938,6 +960,16 @@ ORACLE_SQL.update(
         ),
         "q_errors_report": (
             f"WITH c AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/err_cands.parquet/*.parquet')),"
+            " w AS (SELECT dkey, MIN(struct_pack(c := conv_id, t := turn_idx, s := sub_idx))"
+            "  AS m FROM c GROUP BY dkey)"
+            " SELECT c.conv_id, c.turn_idx, c.tool, c.text, CAST(0.5 AS FLOAT) AS score"
+            " FROM c JOIN w ON c.dkey = w.dkey"
+            " WHERE c.conv_id = (w.m).c AND c.turn_idx = (w.m).t AND c.sub_idx = (w.m).s"
+        ),
+        # the split path stages ITS OWN candidate scan (ranged windows);
+        # same relational re-derivation as q_errors_report over them
+        "q_errors_split": (
+            f"WITH c AS (SELECT * FROM read_parquet('{ORACLE_STAGE}/err_cands_split.parquet/*.parquet')),"
             " w AS (SELECT dkey, MIN(struct_pack(c := conv_id, t := turn_idx, s := sub_idx))"
             "  AS m FROM c GROUP BY dkey)"
             " SELECT c.conv_id, c.turn_idx, c.tool, c.text, CAST(0.5 AS FLOAT) AS score"

@@ -54,15 +54,32 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     # as the sortable _skey string so the aggregation stays HashAggregate
     from .pipeline import _skey
 
-    winners = (
-        rows.withColumn("_skey", _skey())
-        .groupBy(F.col(group_col).alias("group_key"), "dkey")
-        .agg(
-            F.min("_skey").alias("skey"),
-            F.min_by("tokens", "_skey").alias("tokens"),
+    if "tokens" in parsed_baseline.columns:
+        winners = (
+            rows.withColumn("_skey", _skey())
+            .groupBy(F.col(group_col).alias("group_key"), "dkey")
+            .agg(
+                F.min("_skey").alias("skey"),
+                F.min_by("tokens", "_skey").alias("tokens"),
+            )
+            .select("group_key", "skey", "tokens")
         )
-        .select("group_key", "skey", "tokens")
-    )
+    else:
+        # fused-dkey parse mode (pipeline.parse columns="dkey"): re-derive
+        # the winner's tokens from its text at winner scale — exact, since
+        # tokenizer.process is a pure per-line function
+        from .tokenizer import tokenize_udf
+
+        winners = (
+            rows.withColumn("_skey", _skey())
+            .groupBy(F.col(group_col).alias("group_key"), "dkey")
+            .agg(
+                F.min("_skey").alias("skey"),
+                F.min_by("text", "_skey").alias("_wtext"),
+            )
+            .withColumn("tokens", tokenize_udf()(F.col("_wtext")))
+            .select("group_key", "skey", "tokens")
+        )
 
     build_schema = (
         "group_key string, row_id int, indices array<int>, values array<float>"
@@ -138,11 +155,15 @@ def train_collected(
     executor lineage, so nothing to unpersist)."""
     from .pipeline import _skey
 
+    has_tokens = "tokens" in parsed_baseline.columns
     rows = parsed_baseline.filter(~F.col("is_ignored")).select(
         F.col(group_col).alias("group_key"),
         _skey().alias("skey"),
         "dkey",
-        "tokens",
+        # fused-dkey parse mode ships the raw text instead and tokenizes
+        # only the winners driver-side (strictly less work: the tokenize
+        # UDF no longer runs over every baseline row before the collect)
+        F.col("tokens") if has_tokens else F.col("text").alias("tokens"),
         F.octet_length("text").alias("nbytes"),
     )
     pdf = rows.toPandas()
@@ -155,7 +176,12 @@ def train_collected(
         winners = g.sort_values("skey", kind="stable").drop_duplicates(
             subset=["dkey"], keep="first"
         )
-        idx = SparseIndex.from_token_lines(winners["tokens"].tolist())
+        token_lines = winners["tokens"].tolist()
+        if not has_tokens:
+            from .tokenizer import process
+
+            token_lines = [process(t) for t in token_lines]
+        idx = SparseIndex.from_token_lines(token_lines)
         indexes[group] = idx
         for row_id, inds, vals in idx.to_rows():
             out_rows.append(

@@ -87,8 +87,29 @@ class PipelineConfig:
 _SUBLINE_SEP = "(?<!\\\\)\\\\n|\r\n|\n|\r"
 
 
-def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
-    """Project the turns table to sub-line grain with tokens + dedup key."""
+def parse(
+    turns: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+    columns: str = "full",
+) -> DataFrame:
+    """Project the turns table to sub-line grain with tokens + dedup key.
+
+    ``columns`` picks how much derived text data rides on every row:
+
+    - ``"full"`` (default, the public surface): tokens (pandas UDF) and the
+      JVM-computed dkey — what the entry queries and their oracles stage.
+    - ``"dkey"``: ONE fused pandas UDF emits the dedup key directly and no
+      per-row tokens column exists. Downstream (enrich/train) recomputes
+      the few winner rows' tokens from their text — exact because
+      tokenizer.process is a pure per-line function. This is the flagship
+      path: per row it saves the tokens Arrow transfer, the JVM
+      split/array_sort dkey pass and the checkpoint's tokens column — the
+      parse-stage Arrow round-trip named by the round-4 scaling analysis.
+    - ``"light"``: no tokenize at all (the errors entry point classifies
+      lines with its own FSM and never reads tokens/dkey).
+    """
+    if columns not in ("full", "dkey", "light"):
+        raise ValueError(f"unknown parse columns mode: {columns!r}")
     df = turns
     if cfg.explode_sublines and cfg.file_type != "text":
         from .splitter import split_udf
@@ -168,21 +189,26 @@ def parse(turns: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame
             .drop("_m_conv", "_m")
         )
 
-    df = df.withColumn("tokens", tokenize_udf()(F.col("text")))
-    # unordered dedup key (unordered.rs:9-22), computed JVM-side:
-    # sorted non-%-prefixed words
-    df = df.withColumn(
-        "dkey",
-        F.array_join(
-            F.array_sort(
-                F.filter(
-                    F.split("tokens", " "),
-                    lambda w: ~w.startswith("%"),
-                )
+    if columns == "full":
+        df = df.withColumn("tokens", tokenize_udf()(F.col("text")))
+        # unordered dedup key (unordered.rs:9-22), computed JVM-side:
+        # sorted non-%-prefixed words
+        df = df.withColumn(
+            "dkey",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split("tokens", " "),
+                        lambda w: ~w.startswith("%"),
+                    )
+                ),
+                " ",
             ),
-            " ",
-        ),
-    )
+        )
+    elif columns == "dkey":
+        from .tokenizer import dkey_of_text_udf
+
+        df = df.withColumn("dkey", dkey_of_text_udf()(F.col("text")))
     return df
 
 
@@ -297,13 +323,29 @@ def enrich(
     parsed = parsed.withColumn("_skey", _skey())
 
     eligible = parsed.filter(F.col("is_known") & ~F.col("is_ignored"))
-    winners = (
-        eligible.groupBy(F.col(group).alias("tool"), "dkey")
-        .agg(
-            F.min("_skey").alias("skey"),
-            F.min_by("tokens", "_skey").alias("tokens"),
+    if "tokens" in parsed.columns:
+        winners = (
+            eligible.groupBy(F.col(group).alias("tool"), "dkey")
+            .agg(
+                F.min("_skey").alias("skey"),
+                F.min_by("tokens", "_skey").alias("tokens"),
+            )
         )
-    )
+    else:
+        # fused-dkey parse mode: rows carry no tokens — carry the winner's
+        # TEXT out of the aggregation and re-tokenize at winner scale (one
+        # Arrow hop over |winners| rows instead of a per-row tokens column;
+        # exact: process() is a pure per-line function, so tokenizing the
+        # min-skey row's text reproduces the tokens min_by would have kept)
+        winners = (
+            eligible.groupBy(F.col(group).alias("tool"), "dkey")
+            .agg(
+                F.min("_skey").alias("skey"),
+                F.min_by("text", "_skey").alias("_wtext"),
+            )
+            .withColumn("tokens", tokenize_udf()(F.col("_wtext")))
+            .drop("_wtext")
+        )
     if bc_indexes is not None:
         scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
     else:
@@ -856,8 +898,15 @@ def run(
     work_dir: str | None = None,
     small_input_rows: int = 200_000,
     input_rows: int | None = None,
+    stage_times: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Full diff-style run (E1/E2): train (or load) then report.
+
+    ``stage_times``: optional dict the BIG path fills with per-stage wall
+    seconds (parse_target / train_bc / enrich_scored / route_strategy /
+    route_write) — the scaling bench's per-stage attribution (round-5
+    verdict ask). parse_target and train_bc OVERLAP on two threads, so
+    their sum exceeds the critical path by design.
 
     ``input_rows``: caller-known upper bound on BOTH the target and the
     baseline row counts (e.g. the total row count of the table both were
@@ -937,7 +986,7 @@ def run(
         spark.conf.set("spark.sql.shuffle.partitions", str(small_sp))
         caches = []
         try:
-            parsed_t = parse(target_turns, cfg).persist()
+            parsed_t = parse(target_turns, cfg, columns="dkey").persist()
             caches.append(parsed_t)
             with ThreadPoolExecutor(max_workers=1) as pool:
                 mat_fut = pool.submit(parsed_t.count)
@@ -952,7 +1001,7 @@ def run(
                     # budget (which guards unbounded collects) is
                     # inapplicable here.
                     indexes, model_df = model_mod.train_collected(
-                        spark, parse(baseline_turns, cfg),
+                        spark, parse(baseline_turns, cfg, columns="dkey"),
                         group_col=cfg.group_col,
                     )
                     bc = model_mod.broadcast_indexes(spark, indexes)
@@ -1010,9 +1059,20 @@ def run(
     # the target parse and the baseline train are independent job chains:
     # submit both so Spark can overlap them (the scheduler fills idle slots
     # of one with tasks of the other)
-    def _parse_target():
-        parse(target_turns, cfg).write.mode("overwrite").parquet(f"{work_dir}/parsed")
+    import time as _time
 
+    def _rec(key, t0):
+        if stage_times is not None:
+            stage_times[key] = round(_time.perf_counter() - t0, 3)
+
+    def _parse_target():
+        t0 = _time.perf_counter()
+        parse(target_turns, cfg, columns="dkey").write.mode("overwrite").parquet(
+            f"{work_dir}/parsed"
+        )
+        _rec("parse_target", t0)
+
+    _t_train = _time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as pool:
         parse_fut = pool.submit(_parse_target)
         parsed_b = None
@@ -1021,7 +1081,7 @@ def run(
                 raise ValueError("need baseline_turns or model_df")
             # persist the parsed baseline: the trainer's counters and
             # winners branches would otherwise each run the tokenize UDF
-            parsed_b = parse(baseline_turns, cfg).persist()
+            parsed_b = parse(baseline_turns, cfg, columns="dkey").persist()
             model_df = model_mod.train(parsed_b, group_col=cfg.group_col)
         bc = _broadcast_or_none(spark, model_df)
         parse_fut.result()
@@ -1034,10 +1094,14 @@ def run(
                 # after the routed sink is written
                 _SCORED_REFS.append(parsed_b)
 
+    _rec("train_bc", _t_train)
+
     parsed = spark.read.parquet(f"{work_dir}/parsed")
+    _t_enrich = _time.perf_counter()
     enriched, scored = enrich(
         parsed, bc, cfg, model_df=model_df, return_scored=True
     )
+    _rec("enrich_scored", _t_enrich)
     # route strategy inputs from the CHEAP sources (round 4): the dirty
     # conv dim comes from the tiny persisted scored winners (skey encodes
     # the winner's conversation), and the conv total from a column-pruned
@@ -1052,15 +1116,20 @@ def run(
     # (parquet footer metadata, no column reads) proves no conversation can
     # exceed the limit whenever the WHOLE input is under it; only then pay
     # the per-conv size aggregation (still just a conv_id column scan)
+    _t_strategy = _time.perf_counter()
     conv_sizes = None
     allow_split = False
     if cfg.max_task_lines is not None and parsed.count() > cfg.max_task_lines:
         allow_split = True
         conv_sizes = parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
-    route(
+    routed_plan = route(
         enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split,
         clean_split=True, dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
-    ).write.mode("overwrite").parquet(f"{work_dir}/routed")
+    )
+    _rec("route_strategy", _t_strategy)
+    _t_route = _time.perf_counter()
+    routed_plan.write.mode("overwrite").parquet(f"{work_dir}/routed")
+    _rec("route_write", _t_route)
     release_stage_caches()
     routed = spark.read.parquet(f"{work_dir}/routed")
 

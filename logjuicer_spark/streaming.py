@@ -150,7 +150,12 @@ def stateful_route(
             st = json.loads(state.get[0])
             open_a = st.get("open")
             state.remove()
-            yield _pd.DataFrame([open_a] if open_a else [], columns=cols)
+            # never yield an EMPTY frame: pyspark's state serializer concats
+            # the yielded frames, and concatenating empty/all-NA object
+            # columns is deprecated pandas behavior (warns today, changes
+            # dtype resolution under pandas 3)
+            if open_a:
+                yield _pd.DataFrame([open_a], columns=cols)
             return
         if state.exists:
             st = json.loads(state.get[0])
@@ -229,7 +234,8 @@ def stateful_route(
             # re-armed on every batch that carries data for the group; fires
             # on the first batch executed after the idle period
             state.setTimeoutDuration(flush_timeout_ms)
-        yield _pd.DataFrame(out_rows, columns=cols)
+        if out_rows:  # empty yields would hit the deprecated empty-concat
+            yield _pd.DataFrame(out_rows, columns=cols)
 
     return (
         stream_turns.groupBy("conv_id")

@@ -630,6 +630,29 @@ def process_series(s):
     return s.map(mapping).astype("object").where(s.notna(), None)
 
 
+@lru_cache(maxsize=1 << 18)
+def _dkey_of_tokens(tokens: str) -> str:
+    """dedup_key cached per distinct TOKENS value: masking collapses
+    high-entropy lines onto few token strings, so even a per-line-unique
+    corpus hits this cache almost always (the fused text->dkey path's
+    leverage)."""
+    return dedup_key(tokens)
+
+
+def dkey_of_text_series(s):
+    """Vectorized text -> dedup key DIRECTLY (fused tokenize + dkey).
+
+    Exactly dedup_key(process(line)) per line — the fused parse mode
+    (pipeline.parse columns="dkey") uses this so a row's tokens string
+    never crosses the Arrow boundary or lands in the stage checkpoint;
+    winner tokens are recomputed from the winner's text at winner scale
+    (process is a pure function of the line, so the recomputation is
+    exact — pinned by tests/test_parse_modes.py)."""
+    uniq = s.dropna().unique()
+    mapping = {u: _dkey_of_tokens(process(u)) for u in uniq}
+    return s.map(mapping).astype("object").where(s.notna(), None)
+
+
 def dedup_key_series(s):
     uniq = s.dropna().unique()
     mapping = {u: dedup_key(u) for u in uniq}
@@ -656,3 +679,14 @@ def dedup_key_udf():
         return dedup_key_series(s)
 
     return _dedup
+
+
+def dkey_of_text_udf():
+    """Returns a pandas UDF column function: text -> dedup key (fused)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dkey(s):  # pragma: no cover - executed on executors
+        return dkey_of_text_series(s)
+
+    return _dkey

@@ -30,11 +30,14 @@ def run_once(cores: int, n_turns: int, parquet_dir: str) -> dict:
     baseline = turns.filter(F.col("is_baseline")).drop("is_baseline")
     target = turns.filter(~F.col("is_baseline")).drop("is_baseline")
 
+    stage_times: dict = {}
     t0 = time.perf_counter()
-    out = pipeline.run(spark, target, baseline_turns=baseline)
+    out = pipeline.run(spark, target, baseline_turns=baseline, stage_times=stage_times)
+    t1 = time.perf_counter()
     n_anom = out["anomalies"].count()
     totals = out["totals"].collect()[0]
     wall = time.perf_counter() - t0
+    stage_times["aggregate_sinks"] = round(wall - (t1 - t0), 3)
     n_target = totals.total_line_count
     res = {
         "cores": cores,
@@ -43,6 +46,8 @@ def run_once(cores: int, n_turns: int, parquet_dir: str) -> dict:
         "turns_per_sec": round(n_target / wall, 1),
         "anomalies": int(n_anom),
     }
+    if os.environ.get("SCALING_STAGES"):
+        res["stages"] = stage_times
     spark.stop()
     return res
 
