@@ -455,7 +455,9 @@ def error_candidates(parsed) -> "pd.DataFrame":
             }
         )
 
-    return parsed.groupBy("conv_id").applyInPandas(_scan, CAND_SCHEMA)
+    from .pipeline import _apply_per_conv
+
+    return _apply_per_conv(parsed, _scan, CAND_SCHEMA)
 
 
 # ------------------------- intra-conversation range splitting -------------
@@ -812,7 +814,7 @@ def errors_run(
         return _finish(pdf, anomalies, ansible)
 
     if not big_ids:
-        out = parsed.groupBy("conv_id").applyInPandas(_assemble, ERRORS_SCHEMA)
+        out = P._apply_per_conv(parsed, _assemble, ERRORS_SCHEMA)
         return (out, candidates) if return_candidates else out
 
     def _assemble_window(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -857,10 +859,8 @@ def errors_run(
             )
         return out
 
-    small_out = (
-        parsed.filter(~F.col("conv_id").isin(big_ids))
-        .groupBy("conv_id")
-        .applyInPandas(_assemble, ERRORS_SCHEMA)
+    small_out = P._apply_per_conv(
+        parsed.filter(~F.col("conv_id").isin(big_ids)), _assemble, ERRORS_SCHEMA
     )
     big_rows = parsed.filter(F.col("conv_id").isin(big_ids))
     ranged_out = (
@@ -879,9 +879,11 @@ def errors_run(
     ).drop("flagged")
     if flagged_a:
         big_out = big_out.unionByName(
-            big_rows.filter(F.col("conv_id").isin(flagged_a))
-            .groupBy("conv_id")
-            .applyInPandas(_assemble, ERRORS_SCHEMA)
+            P._apply_per_conv(
+                big_rows.filter(F.col("conv_id").isin(flagged_a)),
+                _assemble,
+                ERRORS_SCHEMA,
+            )
         )
     out = small_out.unionByName(big_out)
     return (out, candidates) if return_candidates else out

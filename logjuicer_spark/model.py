@@ -42,44 +42,58 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     """
     rows = parsed_baseline.filter(~F.col("is_ignored"))
 
-    # per-group line/byte counters (trainer counts every non-ignored read
-    # line, pre-dedup: process.rs:68-69)
-    counters = rows.groupBy(F.col(group_col).alias("group_key")).agg(
-        F.count(F.lit(1)).alias("line_count"),
-        F.sum(F.octet_length("text")).alias("byte_count"),
-    )
-
-    # KnownLines dedup: first occurrence of each unordered token-set within
-    # the group, under stable (conv_id, turn_idx, sub_idx) order — encoded
-    # as the sortable _skey string so the aggregation stays HashAggregate
+    # ONE aggregation pass produces both the KnownLines dedup (first
+    # occurrence of each unordered token-set within the group, under stable
+    # (conv_id, turn_idx, sub_idx) order — the sortable _skey keeps it a
+    # partial-aggregatable min) AND the per-group line/byte counters
+    # (trainer counts every non-ignored read line, pre-dedup:
+    # process.rs:68-69): count/bytes partial-aggregate at (group, dkey)
+    # grain and re-sum to group grain from the TINY winners relation.
+    # Round 5: the previous two-pass shape (counters pass + winners pass
+    # over a persisted parse) made the parse output a two-consumer plan —
+    # the persist build plus a second full scan were ~half the measured
+    # train_bc wall at 16M turns (BENCH.md stage attribution).
     from .pipeline import _skey
 
     if "tokens" in parsed_baseline.columns:
-        winners = (
+        winners_full = (
             rows.withColumn("_skey", _skey())
             .groupBy(F.col(group_col).alias("group_key"), "dkey")
             .agg(
                 F.min("_skey").alias("skey"),
                 F.min_by("tokens", "_skey").alias("tokens"),
+                F.count(F.lit(1)).alias("_cnt"),
+                F.sum(F.octet_length("text")).alias("_bytes"),
             )
-            .select("group_key", "skey", "tokens")
         )
     else:
-        # fused-dkey parse mode (pipeline.parse columns="dkey"): re-derive
-        # the winner's tokens from its text at winner scale — exact, since
-        # tokenizer.process is a pure per-line function
-        from .tokenizer import tokenize_udf
-
-        winners = (
-            rows.withColumn("_skey", _skey())
-            .groupBy(F.col(group_col).alias("group_key"), "dkey")
-            .agg(
-                F.min("_skey").alias("skey"),
-                F.min_by("text", "_skey").alias("_wtext"),
-            )
-            .withColumn("tokens", tokenize_udf()(F.col("_wtext")))
-            .select("group_key", "skey", "tokens")
+        # fused-dkey parse mode (pipeline.parse columns="dkey"): the
+        # winner's TEXT rides out as ``wtext`` and the row-build UDF
+        # tokenizes it in-batch (score._token_lines) — exact, since
+        # tokenizer.process is a pure per-line function, and no extra
+        # Python stage or Arrow hop exists for winner tokens
+        winners_full = rows.withColumn("_skey", _skey()).groupBy(
+            F.col(group_col).alias("group_key"), "dkey"
+        ).agg(
+            F.min("_skey").alias("skey"),
+            F.min_by("text", "_skey").alias("wtext"),
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.octet_length("text")).alias("_bytes"),
         )
+    # winners feeds two branches (counters re-sum + matrix build); persist
+    # the TINY relation instead of the full parse output so the tokenize
+    # UDF and the wide aggregation run exactly once (released with the
+    # pipeline stage caches after the run's sinks are written)
+    winners_full = winners_full.persist()
+    from . import pipeline as _P
+
+    _P._SCORED_REFS.append(winners_full)
+    counters = winners_full.groupBy("group_key").agg(
+        F.sum("_cnt").alias("line_count"),
+        F.sum("_bytes").alias("byte_count"),
+    )
+    line_col = "tokens" if "tokens" in winners_full.columns else "wtext"
+    winners = winners_full.select("group_key", "skey", line_col)
 
     build_schema = (
         "group_key string, row_id int, indices array<int>, values array<float>"
@@ -99,17 +113,18 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     w_order = Window.partitionBy("group_key").orderBy("skey")
     ranked = winners.withColumn(
         "row_id", (F.row_number().over(w_order) - 1).cast("int")
-    ).select("group_key", "row_id", "tokens")
+    ).select("group_key", "row_id", line_col)
 
     def _vec_rows(batches):
         import numpy as np
 
         from .hashing import _vectorize_batch
+        from .score import _token_lines
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows, cols, vals = _vectorize_batch(pdf["tokens"].tolist())
+            rows, cols, vals = _vectorize_batch(_token_lines(pdf))
             bounds = np.searchsorted(rows, np.arange(len(pdf) + 1))
             yield pd.DataFrame(
                 {

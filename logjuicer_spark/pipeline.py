@@ -332,19 +332,15 @@ def enrich(
             )
         )
     else:
-        # fused-dkey parse mode: rows carry no tokens — carry the winner's
-        # TEXT out of the aggregation and re-tokenize at winner scale (one
-        # Arrow hop over |winners| rows instead of a per-row tokens column;
-        # exact: process() is a pure per-line function, so tokenizing the
-        # min-skey row's text reproduces the tokens min_by would have kept)
-        winners = (
-            eligible.groupBy(F.col(group).alias("tool"), "dkey")
-            .agg(
-                F.min("_skey").alias("skey"),
-                F.min_by("text", "_skey").alias("_wtext"),
-            )
-            .withColumn("tokens", tokenize_udf()(F.col("_wtext")))
-            .drop("_wtext")
+        # fused-dkey parse mode: rows carry no tokens — the winner's TEXT
+        # rides out of the aggregation as ``wtext`` and the scoring UDF
+        # tokenizes it in-batch (score._token_lines): winner tokens never
+        # cross Arrow and no extra Python stage exists. Exact: process()
+        # is a pure per-line function, so tokenizing the min-skey row's
+        # text reproduces the tokens min_by would have kept.
+        winners = eligible.groupBy(F.col(group).alias("tool"), "dkey").agg(
+            F.min("_skey").alias("skey"),
+            F.min_by("text", "_skey").alias("wtext"),
         )
     if bc_indexes is not None:
         scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
@@ -487,6 +483,73 @@ def _assemble_conv(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) 
     return out
 
 
+def _apply_per_conv(sel: DataFrame, fn, schema) -> DataFrame:
+    """Per-conversation pandas processing without one-python-call-per-group.
+
+    groupBy().applyInPandas ships ONE pandas frame per conversation into
+    Python — at transcript scale that is millions of tiny (hundreds-of-rows)
+    frames, and the per-call overhead (frame construction, serializer
+    round-trip) dominates the stage (round-5 stage attribution: route_write
+    31s of an 89s wall at 16M/local[32], most of it per-group overhead on
+    ~40k 200-row conversations). This helper keeps the IDENTICAL exchange
+    + sort plan shape (hash repartition on conv_id, in-partition sort —
+    exactly what FlatMapGroupsInPandas requires anyway) but runs
+    mapInPandas over full-size Arrow batches: each batch is cut at the last
+    conversation boundary, whole conversations are processed with the same
+    per-conv fn, and the partial tail conversation carries into the next
+    batch of the SAME partition (partition-local carry state is legal —
+    the iterator sees one partition's batches in order). Memory bound:
+    carry <= one conversation (the monster-conversation split keeps
+    conversations under cfg.max_task_lines before they reach here)."""
+
+    # Require (not force) hash distribution by conv_id + in-partition sort:
+    # a window over conv_id carries exactly the ClusteredDistribution +
+    # ordering requirement that groupBy().applyInPandas had, so
+    # EnsureRequirements inserts the exchange ONLY when the child isn't
+    # already partitioned that way — a conv_id-bucketed table (the Iceberg
+    # bucket-transform design, test_bucketing) keeps its shuffle-free plan,
+    # which a bare repartition(col) would have destroyed (it is an
+    # unconditional exchange). The _rn filter is a tautology whose only job
+    # is to keep the column referenced so column pruning cannot drop the
+    # window (and with it the distribution requirement).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "sub_idx")
+    rep = (
+        sel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") >= 1)
+        .drop("_rn")
+    )
+
+    def run(batches):
+        carry = None
+
+        def emit(region: pd.DataFrame):
+            outs = [
+                fn(g) for _, g in region.groupby("conv_id", sort=False)
+            ]
+            outs = [o for o in outs if len(o)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            n_tail = int((conv == conv[-1]).sum())
+            cut = len(pdf) - n_tail
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            if cut:
+                yield from emit(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield from emit(carry)
+
+    return rep.mapInPandas(run, schema=schema)
+
+
 def _route_single(
     enriched: DataFrame,
     cfg: PipelineConfig,
@@ -523,7 +586,7 @@ def _route_single(
     if not clean_split:
         # small cached inputs: the Arrow round-trip is sub-second, so the
         # stats job + per-branch re-evaluation cost more than they save
-        return sel.groupBy("conv_id").applyInPandas(fn, schema=ROUTED)
+        return _apply_per_conv(sel, fn, ROUTED)
     anom_row = (
         F.col("is_known")
         & F.col("is_target")
@@ -587,17 +650,17 @@ def _route_single(
     ):
         # anomaly-dense: most conversations need the walk anyway (or the
         # dim exceeds the broadcast guard) — single pass through pandas
-        return sel.groupBy("conv_id").applyInPandas(fn, schema=ROUTED)
+        return _apply_per_conv(sel, fn, ROUTED)
     if dirty_dim is None:
         dirty_dim = sel.filter(anom_row).select("conv_id").distinct()
     dim = F.broadcast(dirty_dim.select(F.col("conv_id").alias("_d_conv")))
     clean_out = sel.join(
         dim, sel["conv_id"] == F.col("_d_conv"), "left_anti"
     ).select(*clean_cols)
-    dirty = (
-        sel.join(dim, sel["conv_id"] == F.col("_d_conv"), "left_semi")
-        .groupBy("conv_id")
-        .applyInPandas(fn, schema=ROUTED)
+    dirty = _apply_per_conv(
+        sel.join(dim, sel["conv_id"] == F.col("_d_conv"), "left_semi"),
+        fn,
+        ROUTED,
     )
     return clean_out.unionByName(dirty)
 
@@ -1075,24 +1138,19 @@ def run(
     _t_train = _time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as pool:
         parse_fut = pool.submit(_parse_target)
-        parsed_b = None
         if model_df is None:
             if baseline_turns is None:
                 raise ValueError("need baseline_turns or model_df")
-            # persist the parsed baseline: the trainer's counters and
-            # winners branches would otherwise each run the tokenize UDF
-            parsed_b = parse(baseline_turns, cfg, columns="dkey").persist()
-            model_df = model_mod.train(parsed_b, group_col=cfg.group_col)
+            # the parsed baseline has exactly ONE consumer now — the
+            # trainer's single winners+counters aggregation (round 5) —
+            # so no persist: the tokenize UDF runs once by construction,
+            # and the trainer persists its TINY winners relation instead
+            model_df = model_mod.train(
+                parse(baseline_turns, cfg, columns="dkey"),
+                group_col=cfg.group_col,
+            )
         bc = _broadcast_or_none(spark, model_df)
         parse_fut.result()
-        if parsed_b is not None:
-            if bc is not None:
-                parsed_b.unpersist()
-            else:
-                # distributed-scoring runs keep reading model_df, whose
-                # lineage includes parsed_b — release with the stage caches
-                # after the routed sink is written
-                _SCORED_REFS.append(parsed_b)
 
     _rec("train_bc", _t_train)
 

@@ -25,8 +25,21 @@ from .model import lookup
 SCORED_SCHEMA = "tool string, dkey string, skey string, score float"
 
 
+def _token_lines(pdf: pd.DataFrame) -> list:
+    """Winner token lines from either winners layout: a ``tokens`` column
+    (full parse mode), or ``wtext`` — the winner's raw text under the
+    fused-dkey parse mode, tokenized HERE inside the scoring/build UDF so
+    winner tokens never cross the Arrow boundary and no extra Python
+    stage exists (process() is lru-cached per line)."""
+    if "tokens" in pdf.columns:
+        return pdf["tokens"].tolist()
+    from .tokenizer import process
+
+    return [process(t) for t in pdf["wtext"]]
+
+
 def make_score_fn(bc_indexes):
-    """mapInPandas over winner rows (tool, dkey, skey, tokens) -> + score."""
+    """mapInPandas over winner rows (tool, dkey, skey, tokens|wtext) -> + score."""
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         indexes = bc_indexes.value
@@ -34,11 +47,13 @@ def make_score_fn(bc_indexes):
             if len(pdf) == 0:
                 continue
             pdf = pdf.reset_index(drop=True)
+            lines = _token_lines(pdf)
             scores = np.ones(len(pdf), dtype=np.float32)
             for tool, g in pdf.groupby("tool", sort=False):
                 idx = lookup(indexes, tool)
                 if idx is not None:
-                    scores[g.index.to_numpy()] = idx.score(g["tokens"].tolist())
+                    gi = g.index.to_numpy()
+                    scores[gi] = idx.score([lines[i] for i in gi])
             out = pdf[["tool", "dkey", "skey"]].copy()
             out["score"] = scores
             yield out
@@ -64,7 +79,7 @@ def _vectorize_winners_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        rows, cols, vals = _vectorize_batch(pdf["tokens"].tolist())
+        rows, cols, vals = _vectorize_batch(_token_lines(pdf))
         yield pd.DataFrame(
             {
                 "tool": pdf["tool"].to_numpy()[rows],

@@ -61,6 +61,14 @@ def main():
         P.parse(target, cfg),
     )
 
+    section(
+        "parse FUSED (flagship: ONE text->dkey UDF, no per-row tokens column)",
+        "Watch for: a single ArrowEvalPython emitting dkey directly, no "
+        "JVM split/array_sort projection over a tokens column, same pushed "
+        "filters as the full mode (round-5 fused parse).",
+        P.parse(target, cfg, columns="dkey"),
+    )
+
     parsed = P.parse(target, cfg)
     model_df = M.train(P.parse(baseline, cfg))
     bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
@@ -130,9 +138,11 @@ def main():
     section(
         "route (clean/dirty split: anomaly-free conversations stay JVM-side)",
         "Watch for: the clean branch has NO Exchange hashpartitioning and "
-        "no FlatMapGroupsInPandas — a BroadcastHashJoin(LeftAnti) plus a "
-        "column select; only the dirty branch (broadcast LeftSemi) feeds "
-        "FlatMapGroupsInPandas. With zero anomalies the whole stage is "
+        "no pandas stage — a BroadcastHashJoin(LeftAnti) plus a column "
+        "select; only the dirty branch (broadcast LeftSemi) feeds the "
+        "conv-batched MapInPandas behind a Window(conv_id) that REQUIRES "
+        "the hash distribution (elided on bucketed inputs) instead of "
+        "forcing a repartition. With zero anomalies the whole stage is "
         "map-only.",
         P.route(enriched, cfg, allow_split=False),
     )
