@@ -1047,8 +1047,15 @@ def run(
         small_sp = max(8, min(int(old_sp), n_hint // 16_000 + 1))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(small_sp))
+        import time as _time
+
+        def _rec(key, t0):
+            if stage_times is not None:
+                stage_times[key] = round(_time.perf_counter() - t0, 3)
+
         caches = []
         try:
+            _t0 = _time.perf_counter()
             parsed_t = parse(target_turns, cfg, columns="dkey").persist()
             caches.append(parsed_t)
             with ThreadPoolExecutor(max_workers=1) as pool:
@@ -1071,6 +1078,8 @@ def run(
                 else:
                     bc = _broadcast_or_none(spark, model_df)
                 mat_fut.result()
+            _rec("parse_train", _t0)
+            _t0 = _time.perf_counter()
             enriched, scored = enrich(
                 parsed_t, bc, cfg, count_scored=False, model_df=model_df,
                 return_scored=True,
@@ -1102,6 +1111,7 @@ def run(
                 dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
             ).persist()
             routed.count()
+            _rec("enrich_route", _t0)
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
