@@ -232,8 +232,13 @@ def main(argv=None):
             bc = M.broadcast_indexes(
                 spark, M.collect_indexes(M.load(spark, args.model))
             )
+        t = read_input(args.target)
+        # count-star (parquet footers / one text scan) arms the
+        # monster-conversation split guard exactly when the input is big
+        # enough to possibly contain an oversized conversation
         out = errors_run(
-            spark, read_input(args.target), cfg, model_indexes_bc=bc
+            spark, t, cfg, model_indexes_bc=bc,
+            input_rows=t.count() if cfg.max_task_lines is not None else None,
         )
         write_table(out, f"{args.out}/errors")
         status.update(anomalies=read_table(spark, f"{args.out}/errors").count())
