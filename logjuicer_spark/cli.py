@@ -233,15 +233,22 @@ def main(argv=None):
                 spark, M.collect_indexes(M.load(spark, args.model))
             )
         t = read_input(args.target)
-        # count-star (parquet footers / one text scan) arms the
-        # monster-conversation split guard exactly when the input is big
-        # enough to possibly contain an oversized conversation
+        # always arm the monster-conversation split probe at the CLI: the
+        # probe aggregates the LIGHT parse (no tokenize UDF — a JVM-only
+        # scan), so it is cheap even on small inputs, and a turn count
+        # would under-estimate the parsed row count whenever sub-lines
+        # explode (the guard is measured in parsed sub-line rows)
         out = errors_run(
-            spark, t, cfg, model_indexes_bc=bc,
-            input_rows=t.count() if cfg.max_task_lines is not None else None,
+            spark, t, cfg, model_indexes_bc=bc, allow_split=True,
         )
         write_table(out, f"{args.out}/errors")
         status.update(anomalies=read_table(spark, f"{args.out}/errors").count())
+        # the split path persists small intermediates (ranges, candidate
+        # scan, ranged output) registered with the shared stage-cache
+        # list; release them now that the sink is written
+        from .pipeline import release_stage_caches
+
+        release_stage_caches()
     elif args.cmd == "similarity":
         from functools import reduce
 

@@ -171,18 +171,7 @@ class FsmState:
 def classify_lines(texts) -> np.ndarray:
     """Per-line FSM results for one conversation (vectorized fast path when
     no multiline marker is present)."""
-    n = len(texts)
-    has_ml = any((_PY_NEEDLE in t or _GO_NEEDLE in t) for t in texts)
-    if not has_ml:
-        out = np.empty(n, dtype=np.int8)
-        for i, t in enumerate(texts):
-            out[i] = ERROR if ERROR_RE.search(t) else NO_ERROR
-        return out
-    fsm = FsmState()
-    out = np.empty(n, dtype=np.int8)
-    for i, t in enumerate(texts):
-        out[i] = fsm.parse(t)
-    return out
+    return _classify_window(texts)[0]
 
 
 class _Assembler:
@@ -598,21 +587,22 @@ def _candidates_ranged(big_parsed, ranges, pad: int):
             }
         )
         if flag:
-            out = pd.concat(
+            sentinel = pd.DataFrame(
                 [
-                    out,
-                    pd.DataFrame(
-                        [
-                            {
-                                "conv_id": pdf["conv_id"].iloc[0],
-                                "turn_idx": -1, "sub_idx": -1,
-                                "tool": "", "text": "", "dkey": "",
-                                "flagged": True,
-                            }
-                        ]
-                    ),
-                ],
-                ignore_index=True,
+                    {
+                        "conv_id": pdf["conv_id"].iloc[0],
+                        "turn_idx": -1, "sub_idx": -1,
+                        "tool": "", "text": "", "dkey": "",
+                        "flagged": True,
+                    }
+                ]
+            )
+            # never concat with a zero-row frame: its all-object columns
+            # hit the deprecated empty/all-NA dtype-resolution path
+            out = (
+                sentinel
+                if len(out) == 0
+                else pd.concat([out, sentinel], ignore_index=True)
             )
         return out
 
@@ -653,11 +643,20 @@ def errors_run(
     range windows (pad + body + tail) instead of one giant task, exactly
     (scan_error_window's verification + single-task fallback). The probe
     runs Spark jobs, so it is OPT-IN to keep the default lazy:
-    ``allow_split=True`` forces the probe; ``input_rows`` (a caller-known
-    row-count upper bound) engages it only when the input could contain
-    an oversized conversation. ``range_pad`` is the warm-up/verification
+    ``allow_split=True`` forces the probe (cheap: it aggregates the
+    LIGHT parse, which has no Python stage); ``input_rows`` (a
+    caller-known upper bound on the PARSED SUB-LINE row count — a raw
+    turn count under-estimates it whenever sub-lines explode) engages it
+    only when the input could contain an oversized conversation.
+    ``range_pad`` is the warm-up/verification
     window (flags, and thus the fallback, fire only when an FSM span or
     history run longer than this crosses a range boundary).
+
+    Cache ownership: the split path persists three SMALL intermediates
+    (range plan, candidate scan, ranged output) registered with
+    pipeline._SCORED_REFS — after consuming the returned DataFrame, call
+    pipeline.release_stage_caches() (pipeline.run and the CLI do this;
+    long-lived sessions composing errors_run directly should too).
     """
     from pyspark.sql import functions as F
 
@@ -840,22 +839,24 @@ def errors_run(
         out = _finish(pdf, anomalies, ansible)
         out["flagged"] = False
         if flag:
-            out = pd.concat(
+            # typed NaT keeps the ts column datetime64 on both sides, and
+            # a zero-row out is replaced rather than concatenated — the
+            # deprecated empty/all-NA concat path (pandas-3 durability)
+            sentinel = pd.DataFrame(
                 [
-                    out,
-                    pd.DataFrame(
-                        [
-                            {
-                                "conv_id": pdf["conv_id"].iloc[0],
-                                "turn_idx": -1, "sub_idx": -1, "tool": "",
-                                "role": "", "ts": None, "text": "",
-                                "score": np.float32(0.0),
-                                "before": None, "after": None, "flagged": True,
-                            }
-                        ]
-                    ),
-                ],
-                ignore_index=True,
+                    {
+                        "conv_id": pdf["conv_id"].iloc[0],
+                        "turn_idx": -1, "sub_idx": -1, "tool": "",
+                        "role": "", "ts": pd.NaT, "text": "",
+                        "score": np.float32(0.0),
+                        "before": None, "after": None, "flagged": True,
+                    }
+                ]
+            )
+            out = (
+                sentinel
+                if len(out) == 0
+                else pd.concat([out, sentinel], ignore_index=True)
             )
         return out
 

@@ -39,6 +39,12 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     Input columns (from pipeline.parse): conv_id, turn_idx, sub_idx, text,
     tokens, dkey, is_ignored, <group_col>.
     Returns a DataFrame with the MODEL schema.
+
+    Cache ownership: the tiny winners relation is persisted and
+    registered with pipeline._SCORED_REFS; pipeline.run releases it after
+    its sinks are written — callers driving train() directly in long
+    sessions should call pipeline.release_stage_caches() when done with
+    the model DataFrame.
     """
     rows = parsed_baseline.filter(~F.col("is_ignored"))
 

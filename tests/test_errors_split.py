@@ -203,6 +203,25 @@ def test_window_scan_matches_full_walk():
     assert sorted(got) == sorted(want_t) and len(want_t) > 0
 
 
+def test_flagged_windows_with_zero_output_rows(spark):
+    """A conversation that is one enormous traceback and nothing else:
+    every range flags (the span crosses every boundary) while most windows
+    emit ZERO candidate/anomaly rows — the sentinel-emission path must not
+    hit the deprecated empty-frame concat, and the fallback must equal the
+    single-task walk."""
+    texts = ["setup line"] * 5 + _py_tb(120) + ["teardown line"] * 5
+    rows = [
+        {"conv_id": "svc-y/run.log", "turn_idx": i, "role": "tool",
+         "text": t, "tool": "bash", "ts": None}
+        for i, t in enumerate(texts, start=1)
+    ]
+    df = gen.to_spark_df(spark, rows)
+    single = errors_run(spark, df)
+    cfg = PipelineConfig(max_task_lines=40)
+    split = errors_run(spark, df, cfg=cfg, allow_split=True, range_pad=10)
+    assert _snap(split) == _snap(single)
+
+
 def test_window_scan_flags_long_span_crossing_boundary():
     texts = (
         ["quiet line"] * 30
