@@ -203,6 +203,33 @@ def test_window_scan_matches_full_walk():
     assert sorted(got) == sorted(want_t) and len(want_t) > 0
 
 
+def test_split_with_model_filter(spark):
+    """Range split + model post-filter (report_errors semantics): the
+    per-anomaly filter runs inside each window task, so split and single
+    must agree with a baseline model attached too."""
+    from logjuicer_spark import model as M, pipeline
+
+    rows = _corpus(13, n_convs=3, conv_len=120)
+    base = [
+        {"conv_id": "b1", "turn_idx": i + 1, "role": "tool",
+         "tool": f"node-{i % 2}", "ts": None, "text": t}
+        for i, t in enumerate(
+            ["ERROR 1234 database exploded during checkpoint t0",
+             "ordinary quiet line flowing one",
+             "ordinary quiet line flowing two"]
+        )
+    ]
+    model_df = pipeline.train_model(spark, gen.to_spark_df(spark, base))
+    bc = M.broadcast_indexes(spark, M.collect_indexes(model_df))
+    df = gen.to_spark_df(spark, rows)
+    single = errors_run(spark, df, model_indexes_bc=bc)
+    cfg = PipelineConfig(max_task_lines=40)
+    split = errors_run(
+        spark, df, cfg=cfg, allow_split=True, range_pad=12, model_indexes_bc=bc
+    )
+    assert _snap(split) == _snap(single)
+
+
 def test_flagged_windows_with_zero_output_rows(spark):
     """A conversation that is one enormous traceback and nothing else:
     every range flags (the span crosses every boundary) while most windows
