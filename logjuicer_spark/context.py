@@ -233,6 +233,24 @@ def chunk_flush_points(tgt_mask_buf) -> list[int]:
     return ends
 
 
+def _coerce_walk_inputs(texts, positions, is_ignored, is_target, scores, emit_ok):
+    """Shared input normalization of the two context-walk entry points
+    (find_anomalies / find_anomalies_ranged): the is_target & ~is_ignored
+    masking and the f32 score cast are part of the walk's contract, so a
+    single definition keeps the ranged/full equivalence structural."""
+    n = len(texts)
+    is_ignored = np.asarray(is_ignored, dtype=bool)
+    is_target = np.asarray(is_target, dtype=bool) & ~is_ignored
+    scores = np.asarray(scores, dtype=np.float32)
+    emit = (
+        np.ones(n, dtype=bool) if emit_ok is None
+        else np.asarray(emit_ok, dtype=bool)
+    )
+    positions = np.asarray(positions)
+    texts_arr = texts if isinstance(texts, list) else list(texts)
+    return texts_arr, positions, is_ignored, is_target, scores, emit
+
+
 def find_anomalies(
     texts,
     positions,
@@ -263,15 +281,9 @@ def find_anomalies(
     Returns list of anomaly dicts: idx (line offset in the conv), pos,
     distance, line, before[], after[].
     """
-    n = len(texts)
-    is_ignored = np.asarray(is_ignored, dtype=bool)
-    is_target = np.asarray(is_target, dtype=bool) & ~is_ignored
-    scores = np.asarray(scores, dtype=np.float32)
-    if emit_ok is None:
-        emit = np.ones(n, dtype=bool)
-    else:
-        emit = np.asarray(emit_ok, dtype=bool)
-    positions = np.asarray(positions)
+    texts_arr, positions, is_ignored, is_target, scores, emit = (
+        _coerce_walk_inputs(texts, positions, is_ignored, is_target, scores, emit_ok)
+    )
 
     # buffered lines = non-ignored lines, in order
     buf_all = np.flatnonzero(~is_ignored)
@@ -281,7 +293,6 @@ def find_anomalies(
     state = _ChunkState(parse_ts=parse_ts, gl_date=gl_date)
 
     # --- chunk boundary computation (process.rs:283-295) ---
-    texts_arr = texts if isinstance(texts, list) else list(texts)
     _run_chunks(
         state, texts_arr, positions, scores, emit, buf_all, tgt_mask_buf, threshold
     )
@@ -353,15 +364,9 @@ def find_anomalies_ranged(
     only conversations with native timestamps.
     """
     n = len(texts)
-    is_ignored = np.asarray(is_ignored, dtype=bool)
-    is_target = np.asarray(is_target, dtype=bool) & ~is_ignored
-    scores = np.asarray(scores, dtype=np.float32)
-    if emit_ok is None:
-        emit = np.ones(n, dtype=bool)
-    else:
-        emit = np.asarray(emit_ok, dtype=bool)
-    positions = np.asarray(positions)
-    texts_arr = texts if isinstance(texts, list) else list(texts)
+    texts_arr, positions, is_ignored, is_target, scores, emit = (
+        _coerce_walk_inputs(texts, positions, is_ignored, is_target, scores, emit_ok)
+    )
 
     state = _ChunkState()
     carried_pad_idx = None

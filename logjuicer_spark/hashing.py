@@ -29,8 +29,10 @@ from functools import lru_cache
 import numpy as np
 
 SIZE = 260_000  # index.rs:183
-CHUNK = 512  # scoring chunk of unique lines (process.rs:26)
 THRESHOLD = np.float32(0.3)  # process.rs:20
+# (the reference's 512-unique-line scoring chunk, process.rs:26, has no
+# direct analog here: batching is governed by the pair budget / dense-cell
+# heuristics below, whose max-over-rows result is chunking-invariant)
 
 _MASK = 0xFFFFFFFF
 _SEED32 = 0x9E3779B9
@@ -416,6 +418,14 @@ class SparseIndex:
             nb = end_t - start_t
             keys = np.repeat((t_idx[ws:we] - start_t) * nrows, cnt[ws:we]) + b_rows
             if nb * self.nrows <= self._DENSE_CELLS:
+                # dot products accumulate in f64 (bincount weights) and are
+                # rounded to f32 ONCE; the reference's sprs matmul sums
+                # sequentially in f32, so a knife-edge score can differ by
+                # 1 ulp (documented deviation, NOTES.md; goldens hold at
+                # 1e-6 and the exact pinned distances are bit-identical).
+                # Both of THIS engine's scoring paths share this exact
+                # rounding tail, which is the internal-consistency contract
+                # the oracles verify.
                 sums = np.bincount(keys, weights=prod, minlength=nb * self.nrows)
                 best = sums.reshape(nb, self.nrows).max(axis=1).astype(np.float32)
                 result[start_t:end_t] = np.minimum(
