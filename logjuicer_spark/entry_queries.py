@@ -53,9 +53,19 @@ def turns_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("alpine"), F.lit("breeze"), F.lit("copper"), F.lit("dunes")),
         (F.expr("user_id div 2") % 4 + 1).cast("int"),
     )
-    return ev.select(
+    # round 6 (guide §2.3 "project before the exchange" in reverse): the
+    # row_number window runs over the RAW event columns and every derived
+    # string (conv_id, role, the concatenated text, tool) is projected
+    # AFTER it — the user_id exchange then carries the narrow parquet
+    # columns instead of pre-concatenated text rows (measured 1.63s ->
+    # 0.74s for the full view at sf1.0). As a second effect the flagship's
+    # branch filters (is_baseline, a pure user_id predicate) now push
+    # BELOW the window, so each branch's window sorts only its own rows.
+    # Output rows are identical: row_number depends only on
+    # (user_id, ts, event_id), which the reorder does not touch.
+    return ev.withColumn("turn_idx", F.row_number().over(w).cast("int")).select(
         F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
-        F.row_number().over(w).cast("int").alias("turn_idx"),
+        "turn_idx",
         F.when(F.col("event_type").isin("signup", "login"), "user")
         .when(F.col("event_type") == "purchase", "assistant")
         .otherwise("tool")
@@ -377,19 +387,22 @@ def q_pipeline_anomalies(spark, sf_dir):
     """E1/E2 flagship: full diff run on the events-derived transcript table."""
     from . import pipeline
 
-    # the events->turns window is consumed by several plan branches; cache
-    # the small materialized view so row_number doesn't recompute per branch.
-    # The count() both materializes the cache ONCE (the overlapped baseline
-    # and target jobs would otherwise race to compute it) and supplies the
-    # target-row upper bound so run() skips its limit-probe job.
-    t = turns_view(spark, sf_dir).cache()
-    n_rows = t.count()
+    # round 6: the turns view is NOT cached. Measured at sf1.0 the in-memory
+    # columnar cache build + count cost ~2.0s while one full uncached pass of
+    # the view is 1.65s — and the two consumers (target parse, baseline
+    # train) run on overlapped threads anyway, so paying the window twice in
+    # parallel is cheaper than serializing a cache materialization in front
+    # of both. The target-row upper bound run() wants (to skip its
+    # limit-probe jobs) comes from the events parquet FOOTER count (~0.2s,
+    # metadata only): turns_view is a 1:1 projection of events, so the
+    # counts are equal by construction.
+    t = turns_view(spark, sf_dir)
+    n_rows = _t(spark, sf_dir, "events").count()
     baseline = t.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
         "is_baseline", "etype"
     )
     target = t.filter(~F.col("is_baseline")).drop("is_baseline", "etype")
     out = pipeline.run(spark, target, baseline_turns=baseline, input_rows=n_rows)
-    t.unpersist()
     return out["anomalies"].select(
         "conv_id", "turn_idx", "tool", "text", F.round("score", 4).alias("score")
     )
