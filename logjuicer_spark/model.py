@@ -213,6 +213,88 @@ def train_collected(
     return indexes, model_df
 
 
+# winner-row budget for the big path's collected trainer: above this the
+# distributed matrix-build tail is the right shape (driver tokenize of the
+# winners would serialize), below it one collect + numpy replaces five
+# shuffle/UDF mini-jobs. Row-count parameterised, env-overridable.
+MAX_COLLECT_WINNERS = 100_000
+
+
+def train_winners_collected(
+    spark: SparkSession,
+    parsed_baseline: DataFrame,
+    group_col: str = "tool",
+    max_rows: int | None = None,
+) -> tuple[dict[str, SparseIndex] | None, DataFrame]:
+    """Middle trainer (round 6): distributed winners dedup, driver matrix
+    build.
+
+    The heavy half of training — the per-(group, token-set) first-occurrence
+    winners aggregation with its map-side combine over the whole parsed
+    baseline — runs distributed exactly as in :func:`train`. The TINY
+    winners relation is then collected once and the matrix build (ordering,
+    vectorization, counters) happens driver-side, which collapses the
+    distributed tail (ranked window, vectorize mapInPandas, counters join,
+    model persist, nnz aggregation, toPandas — five scheduling round-trips
+    over a handful of rows) into one collect job plus numpy. Semantically
+    identical to ``train`` + ``collect_indexes``: same winners under the
+    same _skey order, the same SparseIndex.from_token_lines build, the same
+    per-group counters (equality pinned by tests/test_round6_opt.py).
+
+    Returns ``(indexes, model_df)`` with model_df createDataFrame-backed.
+    When the winner count exceeds ``max_rows`` (default
+    LOGJUICER_MAX_COLLECT_WINNERS or 100k) this is the wrong shape — the
+    collect is limit-probed, the partial result discarded, and the
+    distributed :func:`train` runs instead, signalled by ``(None, model_df)``.
+    """
+    import os
+
+    if max_rows is None:
+        max_rows = int(
+            os.environ.get("LOGJUICER_MAX_COLLECT_WINNERS", MAX_COLLECT_WINNERS)
+        )
+    from .pipeline import _skey
+
+    has_tokens = "tokens" in parsed_baseline.columns
+    line_src = F.col("tokens") if has_tokens else F.col("text")
+    winners_full = (
+        parsed_baseline.filter(~F.col("is_ignored"))
+        .withColumn("_skey", _skey())
+        .groupBy(F.col(group_col).alias("group_key"), "dkey")
+        .agg(
+            F.min("_skey").alias("skey"),
+            F.min_by(line_src, "_skey").alias("wline"),
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.octet_length("text")).alias("_bytes"),
+        )
+    )
+    pdf = winners_full.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None, train(parsed_baseline, group_col=group_col)
+
+    from .tokenizer import process
+
+    created = _dt.datetime.now(tz=_dt.timezone.utc)
+    indexes: dict[str, SparseIndex] = {}
+    out_rows = []
+    for group, g in pdf.groupby("group_key", sort=False):
+        g = g.sort_values("skey", kind="stable")
+        token_lines = (
+            g["wline"].tolist() if has_tokens else [process(t) for t in g["wline"]]
+        )
+        idx = SparseIndex.from_token_lines(token_lines)
+        indexes[group] = idx
+        line_count = int(g["_cnt"].sum())
+        byte_count = int(g["_bytes"].sum())
+        for row_id, inds, vals in idx.to_rows():
+            out_rows.append(
+                (group, int(row_id), inds, vals, MODEL_VERSION, created,
+                 line_count, byte_count)
+            )
+    model_df = spark.createDataFrame(out_rows, MODEL)
+    return indexes, model_df
+
+
 def save(model_df: DataFrame, path: str) -> None:
     from .storage import write_table
 

@@ -268,6 +268,29 @@ def release_stage_caches():
             pass
 
 
+def _winners_raw(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The per-(group, dkey) first-occurrence winners aggregation over
+    non-ignored rows WITHOUT the is_known row filter.
+
+    ``tool`` is a group key of the aggregation, so filtering the aggregated
+    winners by group membership afterwards is row-for-row identical to
+    filtering the input rows first — which lets this full-scan aggregation
+    (the expensive half of enrich) run BEFORE the model (and with it the
+    known-group set) exists, overlapped with training on the parse thread
+    (round 6; guide §2.6 overlap-independent-jobs)."""
+    group = cfg.group_col
+    eligible = parsed.filter(~F.col("is_ignored")).withColumn("_skey", _skey())
+    if "tokens" in parsed.columns:
+        return eligible.groupBy(F.col(group).alias("tool"), "dkey").agg(
+            F.min("_skey").alias("skey"),
+            F.min_by("tokens", "_skey").alias("tokens"),
+        )
+    return eligible.groupBy(F.col(group).alias("tool"), "dkey").agg(
+        F.min("_skey").alias("skey"),
+        F.min_by("text", "_skey").alias("wtext"),
+    )
+
+
 def enrich(
     parsed: DataFrame,
     bc_indexes,
@@ -275,6 +298,8 @@ def enrich(
     count_scored: bool = True,
     model_df: DataFrame | None = None,
     return_scored: bool = False,
+    winners: DataFrame | None = None,
+    n_winners: int | None = None,
 ):
     """Attach is_known / is_target / score / emit_ok to every parsed row.
 
@@ -322,26 +347,40 @@ def enrich(
             )
     parsed = parsed.withColumn("_skey", _skey())
 
-    eligible = parsed.filter(F.col("is_known") & ~F.col("is_ignored"))
-    if "tokens" in parsed.columns:
-        winners = (
-            eligible.groupBy(F.col(group).alias("tool"), "dkey")
-            .agg(
-                F.min("_skey").alias("skey"),
-                F.min_by("tokens", "_skey").alias("tokens"),
+    if winners is None:
+        eligible = parsed.filter(F.col("is_known") & ~F.col("is_ignored"))
+        if "tokens" in parsed.columns:
+            winners = (
+                eligible.groupBy(F.col(group).alias("tool"), "dkey")
+                .agg(
+                    F.min("_skey").alias("skey"),
+                    F.min_by("tokens", "_skey").alias("tokens"),
+                )
             )
-        )
-    else:
-        # fused-dkey parse mode: rows carry no tokens — the winner's TEXT
-        # rides out of the aggregation as ``wtext`` and the scoring UDF
-        # tokenizes it in-batch (score._token_lines): winner tokens never
-        # cross Arrow and no extra Python stage exists. Exact: process()
-        # is a pure per-line function, so tokenizing the min-skey row's
-        # text reproduces the tokens min_by would have kept.
-        winners = eligible.groupBy(F.col(group).alias("tool"), "dkey").agg(
-            F.min("_skey").alias("skey"),
-            F.min_by("text", "_skey").alias("wtext"),
-        )
+        else:
+            # fused-dkey parse mode: rows carry no tokens — the winner's TEXT
+            # rides out of the aggregation as ``wtext`` and the scoring UDF
+            # tokenizes it in-batch (score._token_lines): winner tokens never
+            # cross Arrow and no extra Python stage exists. Exact: process()
+            # is a pure per-line function, so tokenizing the min-skey row's
+            # text reproduces the tokens min_by would have kept.
+            winners = eligible.groupBy(F.col(group).alias("tool"), "dkey").agg(
+                F.min("_skey").alias("skey"),
+                F.min_by("text", "_skey").alias("wtext"),
+            )
+    elif not single_index:
+        # caller-precomputed _winners_raw (no is_known row filter): apply
+        # the group-membership filter on the aggregated winners instead —
+        # identical rows, because tool is a group key of the aggregation
+        if bc_indexes is not None:
+            winners = winners.filter(F.col("tool").isin(known_keys))
+        else:
+            known_dim = F.broadcast(
+                groups.select(F.col("group_key").alias("_kw_g"))
+            )
+            winners = winners.join(
+                known_dim, winners["tool"] == F.col("_kw_g"), "left_semi"
+            )
     if bc_indexes is not None:
         scored = winners.mapInPandas(make_score_fn(bc_indexes), SCORED_SCHEMA)
     else:
@@ -350,8 +389,15 @@ def enrich(
         scored = score_winners_distributed(winners, model_df, single_index)
     scored = scored.persist()
     _SCORED_REFS.append(scored)
-    # with count_scored=False (small inputs) we broadcast unconditionally
-    n_scored = scored.count() if count_scored else 0
+    # with count_scored=False (small inputs) we broadcast unconditionally;
+    # a caller-known winners count is a valid UPPER bound on |scored|
+    # (the is_known filter only removes rows), so the broadcast guard can
+    # use it without paying a separate count job — scored then
+    # materializes at its first consumer (the dirty-conv dim count)
+    if n_winners is not None:
+        n_scored = n_winners
+    else:
+        n_scored = scored.count() if count_scored else 0
 
     scored_sel = scored.select(
         F.col("tool").alias("_w_tool"),
@@ -1085,8 +1131,19 @@ def run(
             _t0 = _time.perf_counter()
             parsed_t = parse(target_turns, cfg, columns="dkey").persist()
             caches.append(parsed_t)
+
+            def _mat_target():
+                # materialize the parse cache, then run the winners
+                # aggregation over it while the main thread is still
+                # collecting/training (the is_known filter moves onto the
+                # aggregated winners — see _winners_raw)
+                parsed_t.count()
+                w = _winners_raw(parsed_t, cfg).persist()
+                _SCORED_REFS.append(w)
+                return w, w.count()
+
             with ThreadPoolExecutor(max_workers=1) as pool:
-                mat_fut = pool.submit(parsed_t.count)
+                mat_fut = pool.submit(_mat_target)
                 if model_df is None:
                     if baseline_turns is None:
                         raise ValueError("need baseline_turns or model_df")
@@ -1104,12 +1161,12 @@ def run(
                     bc = model_mod.broadcast_indexes(spark, indexes)
                 else:
                     bc = _broadcast_or_none(spark, model_df)
-                mat_fut.result()
+                winners_raw, n_winners = mat_fut.result()
             _rec("parse_train", _t0)
             _t0 = _time.perf_counter()
             enriched, scored = enrich(
                 parsed_t, bc, cfg, count_scored=False, model_df=model_df,
-                return_scored=True,
+                return_scored=True, winners=winners_raw, n_winners=n_winners,
             )
             # round 4: the small path takes the clean/dirty split too, now
             # that the strategy dim is FREE (derived from the scored
@@ -1165,66 +1222,108 @@ def run(
         if stage_times is not None:
             stage_times[key] = round(_time.perf_counter() - t0, 3)
 
-    def _parse_target():
-        t0 = _time.perf_counter()
-        parse(target_turns, cfg, columns="dkey").write.mode("overwrite").parquet(
-            f"{work_dir}/parsed"
-        )
-        _rec("parse_target", t0)
+    # medium-input job-cascade tuning (round 6): with AQE on, every
+    # exchange materializes a query stage — a scheduling gap per shuffle
+    # that costs ~0.5s of the flagship wall at 1M rows while buying
+    # nothing (all joins are explicitly broadcast-hinted and a <= few-M-row
+    # shuffle over the session's fixed partition count cannot need runtime
+    # coalescing or skew splitting). Inputs above the bound keep AQE on:
+    # that is where its coalescing/skew handling pays. Row-count
+    # parameterised (not core-count); override via LOGJUICER_AQE_OFF_MAX_ROWS.
+    import os as _os
 
-    _t_train = _time.perf_counter()
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        parse_fut = pool.submit(_parse_target)
-        if model_df is None:
-            if baseline_turns is None:
-                raise ValueError("need baseline_turns or model_df")
-            # the parsed baseline has exactly ONE consumer now — the
-            # trainer's single winners+counters aggregation (round 5) —
-            # so no persist: the tokenize UDF runs once by construction,
-            # and the trainer persists its TINY winners relation instead
-            model_df = model_mod.train(
-                parse(baseline_turns, cfg, columns="dkey"),
-                group_col=cfg.group_col,
+    aqe_off_max = int(_os.environ.get("LOGJUICER_AQE_OFF_MAX_ROWS", "2000000"))
+    medium = input_rows is not None and input_rows <= aqe_off_max
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if medium:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    try:
+        def _parse_target():
+            t0 = _time.perf_counter()
+            parse(target_turns, cfg, columns="dkey").write.mode("overwrite").parquet(
+                f"{work_dir}/parsed"
             )
-        bc = _broadcast_or_none(spark, model_df)
-        parse_fut.result()
+            _rec("parse_target", t0)
+            # overlap (guide §2.6): the full-scan winners aggregation —
+            # the expensive half of enrich — does not need the model (the
+            # is_known filter moves onto the aggregated winners, see
+            # _winners_raw), so it runs here while the main thread is
+            # still training/broadcasting
+            t0 = _time.perf_counter()
+            w = _winners_raw(
+                spark.read.parquet(f"{work_dir}/parsed"), cfg
+            ).persist()
+            _SCORED_REFS.append(w)
+            n = w.count()
+            _rec("winners_agg", t0)
+            return w, n
 
-    _rec("train_bc", _t_train)
+        _t_train = _time.perf_counter()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            parse_fut = pool.submit(_parse_target)
+            if model_df is None:
+                if baseline_turns is None:
+                    raise ValueError("need baseline_turns or model_df")
+                # the parsed baseline has exactly ONE consumer — the
+                # trainer's single winners+counters aggregation. Round 6:
+                # the middle trainer collects the TINY winners relation and
+                # builds the matrix driver-side (one collect job instead of
+                # the distributed tail's five mini-jobs); baselines whose
+                # winner count exceeds the budget fall back to the
+                # distributed trainer + collect/broadcast path.
+                indexes, model_df = model_mod.train_winners_collected(
+                    spark, parse(baseline_turns, cfg, columns="dkey"),
+                    group_col=cfg.group_col,
+                )
+                bc = (
+                    model_mod.broadcast_indexes(spark, indexes)
+                    if indexes is not None
+                    else _broadcast_or_none(spark, model_df)
+                )
+            else:
+                bc = _broadcast_or_none(spark, model_df)
+            winners_raw, n_winners = parse_fut.result()
 
-    parsed = spark.read.parquet(f"{work_dir}/parsed")
-    _t_enrich = _time.perf_counter()
-    enriched, scored = enrich(
-        parsed, bc, cfg, model_df=model_df, return_scored=True
-    )
-    _rec("enrich_scored", _t_enrich)
-    # route strategy inputs from the CHEAP sources (round 4): the dirty
-    # conv dim comes from the tiny persisted scored winners (skey encodes
-    # the winner's conversation), and the conv total from a column-pruned
-    # approx-distinct over the parsed checkpoint — the route stage used to
-    # re-evaluate the full enriched plan (checkpoint scan + both broadcast
-    # joins) once more just to make this decision
-    dirty_conv_dim = _dirty_conv_dim(scored, cfg)
-    n_convs = lambda: int(
-        parsed.agg(F.approx_count_distinct("conv_id").alias("n")).first()["n"]
-    )
-    # monster-conv probe, cheapest-first: a count-star over the checkpoint
-    # (parquet footer metadata, no column reads) proves no conversation can
-    # exceed the limit whenever the WHOLE input is under it; only then pay
-    # the per-conv size aggregation (still just a conv_id column scan)
-    _t_strategy = _time.perf_counter()
-    conv_sizes = None
-    allow_split = False
-    if cfg.max_task_lines is not None and parsed.count() > cfg.max_task_lines:
-        allow_split = True
-        conv_sizes = parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
-    routed_plan = route(
-        enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split,
-        clean_split=True, dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
-    )
-    _rec("route_strategy", _t_strategy)
-    _t_route = _time.perf_counter()
-    routed_plan.write.mode("overwrite").parquet(f"{work_dir}/routed")
-    _rec("route_write", _t_route)
+        _rec("train_bc", _t_train)
+
+        parsed = spark.read.parquet(f"{work_dir}/parsed")
+        _t_enrich = _time.perf_counter()
+        enriched, scored = enrich(
+            parsed, bc, cfg, model_df=model_df, return_scored=True,
+            winners=winners_raw, n_winners=n_winners,
+        )
+        _rec("enrich_scored", _t_enrich)
+        # route strategy inputs from the CHEAP sources (round 4): the dirty
+        # conv dim comes from the tiny persisted scored winners (skey encodes
+        # the winner's conversation), and the conv total from a column-pruned
+        # approx-distinct over the parsed checkpoint — the route stage used to
+        # re-evaluate the full enriched plan (checkpoint scan + both broadcast
+        # joins) once more just to make this decision
+        dirty_conv_dim = _dirty_conv_dim(scored, cfg)
+        n_convs = lambda: int(
+            parsed.agg(F.approx_count_distinct("conv_id").alias("n")).first()["n"]
+        )
+        # monster-conv probe, cheapest-first: a count-star over the checkpoint
+        # (parquet footer metadata, no column reads) proves no conversation can
+        # exceed the limit whenever the WHOLE input is under it; only then pay
+        # the per-conv size aggregation (still just a conv_id column scan)
+        _t_strategy = _time.perf_counter()
+        conv_sizes = None
+        allow_split = False
+        if cfg.max_task_lines is not None and parsed.count() > cfg.max_task_lines:
+            allow_split = True
+            conv_sizes = parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        routed_plan = route(
+            enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split,
+            clean_split=True, dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
+        )
+        _rec("route_strategy", _t_strategy)
+        _t_route = _time.perf_counter()
+        routed_plan.write.mode("overwrite").parquet(f"{work_dir}/routed")
+        _rec("route_write", _t_route)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     release_stage_caches()
     routed = spark.read.parquet(f"{work_dir}/routed")
 
