@@ -33,6 +33,47 @@ from .hashing import SparseIndex
 from .schemas import MODEL
 
 
+def _winners_full_agg(parsed_baseline: DataFrame, group_col: str) -> DataFrame:
+    """The trainer's single aggregation pass: KnownLines dedup (first
+    occurrence of each unordered token-set within the group, under stable
+    (conv_id, turn_idx, sub_idx) order — the sortable _skey keeps it a
+    partial-aggregatable min) AND the per-group line/byte counters
+    (trainer counts every non-ignored read line, pre-dedup:
+    process.rs:68-69): count/bytes partial-aggregate at (group, dkey)
+    grain and re-sum to group grain from the TINY winners relation.
+    Round 5: the previous two-pass shape (counters pass + winners pass
+    over a persisted parse) made the parse output a two-consumer plan —
+    the persist build plus a second full scan were ~half the measured
+    train_bc wall at 16M turns (BENCH.md stage attribution)."""
+    from .pipeline import _skey
+
+    rows = parsed_baseline.filter(~F.col("is_ignored"))
+    if "tokens" in parsed_baseline.columns:
+        return (
+            rows.withColumn("_skey", _skey())
+            .groupBy(F.col(group_col).alias("group_key"), "dkey")
+            .agg(
+                F.min("_skey").alias("skey"),
+                F.min_by("tokens", "_skey").alias("tokens"),
+                F.count(F.lit(1)).alias("_cnt"),
+                F.sum(F.octet_length("text")).alias("_bytes"),
+            )
+        )
+    # fused-dkey parse mode (pipeline.parse columns="dkey"): the
+    # winner's TEXT rides out as ``wtext`` and the row-build UDF
+    # tokenizes it in-batch (score._token_lines) — exact, since
+    # tokenizer.process is a pure per-line function, and no extra
+    # Python stage or Arrow hop exists for winner tokens
+    return rows.withColumn("_skey", _skey()).groupBy(
+        F.col(group_col).alias("group_key"), "dkey"
+    ).agg(
+        F.min("_skey").alias("skey"),
+        F.min_by("text", "_skey").alias("wtext"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.octet_length("text")).alias("_bytes"),
+    )
+
+
 def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     """Build the model table from a parsed baseline DataFrame.
 
@@ -46,54 +87,21 @@ def train(parsed_baseline: DataFrame, group_col: str = "tool") -> DataFrame:
     sessions should call pipeline.release_stage_caches() when done with
     the model DataFrame.
     """
-    rows = parsed_baseline.filter(~F.col("is_ignored"))
-
-    # ONE aggregation pass produces both the KnownLines dedup (first
-    # occurrence of each unordered token-set within the group, under stable
-    # (conv_id, turn_idx, sub_idx) order — the sortable _skey keeps it a
-    # partial-aggregatable min) AND the per-group line/byte counters
-    # (trainer counts every non-ignored read line, pre-dedup:
-    # process.rs:68-69): count/bytes partial-aggregate at (group, dkey)
-    # grain and re-sum to group grain from the TINY winners relation.
-    # Round 5: the previous two-pass shape (counters pass + winners pass
-    # over a persisted parse) made the parse output a two-consumer plan —
-    # the persist build plus a second full scan were ~half the measured
-    # train_bc wall at 16M turns (BENCH.md stage attribution).
-    from .pipeline import _skey
-
-    if "tokens" in parsed_baseline.columns:
-        winners_full = (
-            rows.withColumn("_skey", _skey())
-            .groupBy(F.col(group_col).alias("group_key"), "dkey")
-            .agg(
-                F.min("_skey").alias("skey"),
-                F.min_by("tokens", "_skey").alias("tokens"),
-                F.count(F.lit(1)).alias("_cnt"),
-                F.sum(F.octet_length("text")).alias("_bytes"),
-            )
-        )
-    else:
-        # fused-dkey parse mode (pipeline.parse columns="dkey"): the
-        # winner's TEXT rides out as ``wtext`` and the row-build UDF
-        # tokenizes it in-batch (score._token_lines) — exact, since
-        # tokenizer.process is a pure per-line function, and no extra
-        # Python stage or Arrow hop exists for winner tokens
-        winners_full = rows.withColumn("_skey", _skey()).groupBy(
-            F.col(group_col).alias("group_key"), "dkey"
-        ).agg(
-            F.min("_skey").alias("skey"),
-            F.min_by("text", "_skey").alias("wtext"),
-            F.count(F.lit(1)).alias("_cnt"),
-            F.sum(F.octet_length("text")).alias("_bytes"),
-        )
     # winners feeds two branches (counters re-sum + matrix build); persist
     # the TINY relation instead of the full parse output so the tokenize
     # UDF and the wide aggregation run exactly once (released with the
     # pipeline stage caches after the run's sinks are written)
-    winners_full = winners_full.persist()
+    winners_full = _winners_full_agg(parsed_baseline, group_col).persist()
     from . import pipeline as _P
 
     _P._SCORED_REFS.append(winners_full)
+    return _train_distributed_tail(winners_full)
+
+
+def _train_distributed_tail(winners_full: DataFrame) -> DataFrame:
+    """The distributed matrix build over an (already persisted) winners
+    relation: counters re-sum, per-group row ranks, vectorize mapInPandas,
+    counters join."""
     counters = winners_full.groupBy("group_key").agg(
         F.sum("_cnt").alias("line_count"),
         F.sum("_bytes").alias("byte_count"),
@@ -243,9 +251,10 @@ def train_winners_collected(
 
     Returns ``(indexes, model_df)`` with model_df createDataFrame-backed.
     When the winner count exceeds ``max_rows`` (default
-    LOGJUICER_MAX_COLLECT_WINNERS or 100k) this is the wrong shape — the
-    collect is limit-probed, the partial result discarded, and the
-    distributed :func:`train` runs instead, signalled by ``(None, model_df)``.
+    LOGJUICER_MAX_COLLECT_WINNERS or 100k) this is the wrong shape; the
+    distributed tail then runs over the SAME persisted winners relation
+    (no re-aggregation, no second parse pass), signalled by
+    ``(None, model_df)``.
     """
     import os
 
@@ -253,34 +262,30 @@ def train_winners_collected(
         max_rows = int(
             os.environ.get("LOGJUICER_MAX_COLLECT_WINNERS", MAX_COLLECT_WINNERS)
         )
-    from .pipeline import _skey
-
     has_tokens = "tokens" in parsed_baseline.columns
-    line_src = F.col("tokens") if has_tokens else F.col("text")
-    winners_full = (
-        parsed_baseline.filter(~F.col("is_ignored"))
-        .withColumn("_skey", _skey())
-        .groupBy(F.col(group_col).alias("group_key"), "dkey")
-        .agg(
-            F.min("_skey").alias("skey"),
-            F.min_by(line_src, "_skey").alias("wline"),
-            F.count(F.lit(1)).alias("_cnt"),
-            F.sum(F.octet_length("text")).alias("_bytes"),
-        )
-    )
-    pdf = winners_full.limit(max_rows + 1).toPandas()
-    if len(pdf) > max_rows:
-        return None, train(parsed_baseline, group_col=group_col)
+    # the same persist train() itself performs (the winners relation feeds
+    # either the collect or the distributed tail's two branches); released
+    # with the pipeline stage caches
+    winners_full = _winners_full_agg(parsed_baseline, group_col).persist()
+    from . import pipeline as _P
+
+    _P._SCORED_REFS.append(winners_full)
+    n = winners_full.count()
+    if n > max_rows:
+        return None, _train_distributed_tail(winners_full)
+    pdf = winners_full.toPandas()
 
     from .tokenizer import process
 
+    line_col = "tokens" if has_tokens else "wtext"
     created = _dt.datetime.now(tz=_dt.timezone.utc)
     indexes: dict[str, SparseIndex] = {}
     out_rows = []
     for group, g in pdf.groupby("group_key", sort=False):
         g = g.sort_values("skey", kind="stable")
         token_lines = (
-            g["wline"].tolist() if has_tokens else [process(t) for t in g["wline"]]
+            g[line_col].tolist() if has_tokens
+            else [process(t) for t in g[line_col]]
         )
         idx = SparseIndex.from_token_lines(token_lines)
         indexes[group] = idx
