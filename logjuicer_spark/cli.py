@@ -224,6 +224,12 @@ def main(argv=None):
         status.update(
             groups=M.load(spark, args.model).select("group_key").distinct().count()
         )
+        # the trainer persisted its winners relation (registered with the
+        # shared stage-cache list); the model sink is written, release it
+        # so long-lived callers embedding the CLI don't accumulate cache
+        from .pipeline import release_stage_caches
+
+        release_stage_caches()
     elif args.cmd == "errors":
         from .errors import errors_run
 

@@ -363,7 +363,6 @@ def find_anomalies_ranged(
     chunk boundaries unbounded (32-line scans), so the caller must split
     only conversations with native timestamps.
     """
-    n = len(texts)
     texts_arr, positions, is_ignored, is_target, scores, emit = (
         _coerce_walk_inputs(texts, positions, is_ignored, is_target, scores, emit_ok)
     )

@@ -595,6 +595,9 @@ def q_errors_split(spark, sf_dir):
         return_candidates=True,
     )
     _stage(spark, cands, "err_cands_split")
+    # the split path persisted three intermediates; the staged parquet
+    # makes them unnecessary afterwards (ADVICE r5)
+    P.release_stage_caches()
     return out.select("conv_id", "turn_idx", "tool", "text", "score")
 
 

@@ -93,6 +93,60 @@ def test_winners_raw_postfilter_equals_prefiltered(spark, corpus):
     assert a == b
 
 
+def test_assemble_region_equals_per_conv():
+    """_assemble_region over a multi-conversation region must equal the
+    per-conversation _assemble_conv outputs concatenated in order —
+    including anomalous conversations with contexts, unknown rows,
+    ignored rows and global-dedup suppressions."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(12):
+        n = int(rng.integers(3, 60))
+        for t in range(n):
+            is_known = bool(rng.random() > 0.1)
+            is_ignored = bool(rng.random() < 0.05)
+            # engine invariant (enrich): is_target => is_known & ~is_ignored
+            is_target = bool(rng.random() > 0.5) and is_known and not is_ignored
+            score = float(rng.choice([0.0, 0.2, 0.45, 0.9]))
+            rows.append(
+                {
+                    "conv_id": f"c-{c:03d}",
+                    "turn_idx": t + 1,
+                    "sub_idx": 0,
+                    "role": "tool",
+                    "tool": "node-0",
+                    "ts": pd.Timestamp("2024-01-01"),
+                    "text": f"line {c} {t} payload",
+                    "is_ignored": is_ignored,
+                    "is_known": is_known,
+                    "is_target": is_target,
+                    "score": np.float32(score) if is_target else np.nan,
+                    "emit_ok": bool(rng.random() > 0.1),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    thr = 0.3
+
+    per_conv = pd.concat(
+        [
+            pipeline._assemble_conv(g, thr)
+            for _, g in pdf.groupby("conv_id", sort=False)
+        ],
+        ignore_index=True,
+    )
+    region = pipeline._assemble_region(pdf, thr).reset_index(drop=True)
+    assert len(per_conv) == len(region)
+    for col in ("conv_id", "turn_idx", "sub_idx", "role", "tool", "text", "route"):
+        assert list(per_conv[col]) == list(region[col]), col
+    np.testing.assert_array_equal(
+        per_conv["score"].to_numpy(), region["score"].to_numpy()
+    )
+    assert list(per_conv["before"]) == list(region["before"])
+    assert list(per_conv["after"]) == list(region["after"])
+
+
 def test_flagship_small_and_big_paths_agree(spark, corpus):
     """run() via the big path (winners overlap + middle trainer) and the
     small path produce the same anomaly set."""
