@@ -517,7 +517,7 @@ def _word_result_dash(word: str) -> tuple[str, bool, int] | None:
     '..', %BASE64 '=' or the base64 charset, %UNIT/pid-trim '[', %ODD its
     char class, key-value '='/':', the '/' and '|' splits their chars, and
     %BIG sits after the '-' branch."""
-    if len(word) >= 64 or _DASH_WORD_RE.match(word) is None:
+    if "-" not in word or len(word) >= 64 or _DASH_WORD_RE.match(word) is None:
         return None
     if (
         _HEX_DASH_RE.match(word) is not None
@@ -553,6 +553,56 @@ def _word_result_dash(word: str) -> tuple[str, bool, int] | None:
     return (frag, r2[1], 0)
 
 
+# letters-only segments joined by single dots (hostnames, module paths:
+# registry.example.com, os.path) — the third-most-common miss shape in the
+# cold profile after alnum and dash (round 6)
+_DOTTED_WORD_RE = re.compile(r"^[A-Za-z]+(?:\.[A-Za-z]+)+$")
+# _UID_FAST_RE restricted to the letters+dots alphabet: hex-ish letters
+# (the A-class keeps only a-f/A-F, lowercase x, capital Z) with '.' as a
+# separator-class char
+_HEX_DOT_RE = re.compile(r"^[a-fA-FxZ][a-fA-FxZ.]*$")
+
+
+def _word_result_dotted(word: str) -> tuple[str, bool, int] | None:
+    """Exact-equivalent result of _do_process for letters+dots words, or
+    None when out of shape.
+
+    For this shape the cascade collapses: %DATE needs isalpha (dots break
+    it), %HASH needs ':'/'~' after an h/s/m prefix or a 64-char run of its
+    dot-free class (excluded by the < 64 cap), %UID(uuid) needs 3 dashes,
+    %URL '://', %REF '/' or '..' (single dots only here), %BASE64 '=' or
+    its dot-free charset, %UNIT/pid-trim '[', %ODD its char class,
+    key-value '='/':', the '/'-'-'-'|' splits their chars, two-words
+    '[', '(', '\\\\', '@', error words carry no dots, and _remove_numbers
+    is the identity (no digits). What remains, in the exact
+    tokenizer.rs:455-480 precedence: %ID (uid pattern with '.' as
+    separator / uid literals / no-vowel), %COOKIE, %PATH's tmp prefix,
+    the <=3-byte drop, %BIG at >= 32 bytes, else the word itself.
+    Differentially fuzz-tested (tests/test_tokenizer_fastpath.py)."""
+    if "." not in word or len(word) >= 64 or _DOTTED_WORD_RE.match(word) is None:
+        return None
+    if (
+        _HEX_DOT_RE.match(word) is not None
+        or (
+            ("latest" in word or "none" in word)
+            and _uid_pattern_match_slow(word)
+        )
+        or _contains_no_vowel(word)
+    ):
+        return ("%ID", True, 0)
+    if word.startswith(("gAAAA", "AAAA", "tap")) or (
+        word.startswith("tx") and len(word) > 2 and word[2] in _LC
+    ):
+        return ("%COOKIE", True, 0)
+    if word.startswith("tmp"):
+        return ("%PATH", True, 0)
+    if len(word) <= 3:
+        return ("", False, 0)
+    if len(word) >= 32:
+        return ("%BIG", True, 0)
+    return (word, True, 0)
+
+
 def _word_result_slow(word: str) -> tuple[str, bool, int]:
     """The full cascade (used directly by the differential fast-path test)."""
     out: list[str] = []
@@ -575,7 +625,11 @@ def _word_result(word: str) -> tuple[str, bool, int]:
     the consumed word's content is discarded (tokenizer.rs:536,576) — so the
     full result is cacheable per word, which makes tokenizing repetitive log
     vocabularies a dict lookup per word."""
-    fast = _word_result_alnum(word) or _word_result_dash(word)
+    fast = (
+        _word_result_alnum(word)
+        or _word_result_dash(word)
+        or _word_result_dotted(word)
+    )
     if fast is not None:
         return fast
     return _word_result_slow(word)

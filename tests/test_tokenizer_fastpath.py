@@ -40,11 +40,21 @@ _GOLDEN_WORDS = [
     "latest-build", "build-latest", "none-set", "x-none", "bcd-fgh",
     "tap-dance", "abcd-efg", "ab-c", "word-" + "q" * 40,
     "q" * 30 + "-tail", "a-" + "b1-" * 12 + "z9", "a" * 40 + "-" + "b" * 30,
+    # dotted shapes (round 6)
+    "registry.example.com", "os.path", "a.b", "a.bc", "abcd.efgh",
+    "x.z", "bcd.fgh", "deadbeef.cafe", "face.bead", "tap.example",
+    "tmp.scratch", "latest.none", "none.latest", "example.latest",
+    "gAAAA.x", "tx.lower", "txa.b", "very.long." + "segment." * 5 + "tail",
+    "a." * 20 + "b", "no..double", ".leading", "trailing.", "Mixed.Case.Host",
 ]
 
 
 def _fast(w):
-    return T._word_result_alnum(w) or T._word_result_dash(w)
+    return (
+        T._word_result_alnum(w)
+        or T._word_result_dash(w)
+        or T._word_result_dotted(w)
+    )
 
 
 def test_fast_word_goldens_match_slow():
@@ -59,6 +69,14 @@ def test_fast_word_goldens_match_slow():
 @settings(max_examples=2000, deadline=None)
 @given(st.text(alphabet=string.ascii_letters + string.digits + "-", min_size=1, max_size=70))
 def test_fast_word_fuzz_alnum_dash(w):
+    fast = _fast(w)
+    if fast is not None:
+        assert fast == T._word_result_slow(w)
+
+
+@settings(max_examples=2000, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + ".", min_size=1, max_size=70))
+def test_fast_word_fuzz_dotted(w):
     fast = _fast(w)
     if fast is not None:
         assert fast == T._word_result_slow(w)
