@@ -468,7 +468,13 @@ def q_dedup_groups(spark, sf_dir):
         minhash_dedup_groups, minhash_lsh_pairs, minhash_signatures,
     )
 
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    # round 6: stage the signatures FIRST — the pairs plan references the
+    # sigs relation five times (first(), band self-join left/right, the
+    # two verify joins), so an unstaged sigs re-ran the signature UDF per
+    # reference (measured 6.1s -> 2.1s for the pairs at sf0.1). Staged
+    # values are identical (deterministic UDF), so cc_pairs/cc_ids and
+    # the oracle's re-derivation are unchanged.
+    sigs = _stage(spark, minhash_signatures(_t(spark, sf_dir, "documents")), "cc_sigs")
     pairs = _stage(
         spark,
         minhash_lsh_pairs(sigs, threshold=0.5).select("id_a", "id_b"),
@@ -572,9 +578,25 @@ def q_errors_report(spark, sf_dir):
     from .errors import error_candidates, errors_run
 
     t = _errors_turns(spark, sf_dir)
-    _stage(spark, error_candidates(P.parse(t, P.PipelineConfig())), "err_cands")
-    out = errors_run(spark, t)
-    return out.select("conv_id", "turn_idx", "tool", "text", "score")
+    # round 6: the candidates are computed from the LIGHT parse (the FSM
+    # never reads tokens — the full parse staged a tokenize-UDF pass for
+    # nothing), staged once, and handed back to errors_run so its
+    # global-dedup dim reads the staged parquet instead of embedding a
+    # second FSM subtree; the report itself is staged too so the harness's
+    # evaluation of the returned frame is a parquet scan, not a third
+    # full pass. Staged rows and report rows are value-identical to the
+    # previous shape (same expressions, materialization points moved).
+    cands = _stage(
+        spark,
+        error_candidates(P.parse(t, P.PipelineConfig(), columns="light")),
+        "err_cands",
+    )
+    out = errors_run(spark, t, candidates_df=cands)
+    return _stage(
+        spark,
+        out.select("conv_id", "turn_idx", "tool", "text", "score"),
+        "err_out",
+    )
 
 
 def q_errors_split(spark, sf_dir):
@@ -595,10 +617,18 @@ def q_errors_split(spark, sf_dir):
         return_candidates=True,
     )
     _stage(spark, cands, "err_cands_split")
-    # the split path persisted three intermediates; the staged parquet
-    # makes them unnecessary afterwards (ADVICE r5)
+    # round 6: the report is staged BEFORE the split path's persisted
+    # intermediates are released (ADVICE r5) — the harness's evaluation of
+    # the returned frame is then a parquet scan instead of an uncached
+    # re-run of the whole ranged scan (measured 18.6s -> single
+    # evaluation); rows identical by construction.
+    staged = _stage(
+        spark,
+        out.select("conv_id", "turn_idx", "tool", "text", "score"),
+        "err_split_out",
+    )
     P.release_stage_caches()
-    return out.select("conv_id", "turn_idx", "tool", "text", "score")
+    return staged
 
 
 def q_similarity_report(spark, sf_dir):
@@ -617,9 +647,18 @@ def q_similarity_report(spark, sf_dir):
     halves = [
         target.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == i) for i in (0, 1)
     ]
+    # round 6: train ONCE on the shared baseline instead of once per half
+    # (the two runs re-trained the identical model); the middle trainer's
+    # createDataFrame-backed model makes each run's collect/broadcast a
+    # local no-op. Anomaly rows are unchanged (same model either way).
+    from . import model as M
+
+    _, model_df = M.train_winners_collected(
+        spark, pipeline.parse(baseline, pipeline.PipelineConfig(), columns="dkey")
+    )
     labeled = None
     for i, half in enumerate(halves):
-        out = pipeline.run(spark, half, baseline_turns=baseline)
+        out = pipeline.run(spark, half, model_df=model_df)
         a = (
             out["anomalies"]
             .withColumn("target_id", F.lit(i))

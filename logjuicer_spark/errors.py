@@ -621,6 +621,7 @@ def errors_run(
     allow_split=None,
     range_pad=256,
     return_candidates=False,
+    candidates_df=None,
 ):
     """Full errors report over a turns DataFrame.
 
@@ -651,6 +652,11 @@ def errors_run(
     ``range_pad`` is the warm-up/verification
     window (flags, and thus the fallback, fire only when an FSM span or
     history run longer than this crosses a range boundary).
+
+    ``candidates_df``: a caller-materialized copy of
+    ``error_candidates(parse(turns, cfg, columns="light"))`` — honored only
+    on the non-split path (the split path derives its candidates from the
+    range windows); must be value-identical to the internal expression.
 
     Cache ownership: the split path persists three SMALL intermediates
     (range plan, candidate scan, ranged output) registered with
@@ -711,7 +717,14 @@ def errors_run(
             parsed.filter(~F.col("conv_id").isin(big_ids))
         ).unionByName(cand_big)
     else:
-        candidates = error_candidates(parsed)
+        # a caller-staged candidate relation (e.g. the oracle queries
+        # materialize it to parquet anyway) spares the plan one FSM pass:
+        # the global-dedup dim below otherwise embeds a second
+        # error_candidates subtree next to the per-conv assembly's own scan
+        candidates = (
+            candidates_df if candidates_df is not None
+            else error_candidates(parsed)
+        )
     _src_name = F.substring_index("conv_id", "/", -1)
     ansible_expr = F.col("conv_id").contains("/") & (
         _src_name.startswith("job-output") | _src_name.contains("ansible")

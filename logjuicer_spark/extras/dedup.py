@@ -90,6 +90,12 @@ def minhash_signatures(
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
+        # loop-invariant hoists (round 6): the split halves of `a` and the
+        # reshaped `b` were rebuilt per document — three allocations per
+        # row for constants of the batch
+        a1c = a[:, None] >> np.uint64(32)
+        a0c = a[:, None] & np.uint64(0xFFFFFFFF)
+        bc = b[:, None]
         out = []
         for t in texts:
             x = _shingle_hashes(t or "", shingle_k)
@@ -100,15 +106,13 @@ def minhash_signatures(
             # Split a = a1*2^32 + a0 (x < 2^32, so each partial product is
             # exact in uint64) and reduce t*2^32 mod M via the Mersenne
             # identity t*2^32 = (t >> 29)*M + (t >> 29) + ((t & (2^29-1)) << 32).
-            a1 = a[:, None] >> np.uint64(32)
-            a0 = a[:, None] & np.uint64(0xFFFFFFFF)
-            t_hi = a1 * x[None, :]  # < 2^61, exact
+            t_hi = a1c * x[None, :]  # < 2^61, exact
             hi_mod = (t_hi >> np.uint64(29)) + (
                 (t_hi & np.uint64((1 << 29) - 1)) << np.uint64(32)
             )
-            lo = a0 * x[None, :]  # < 2^64, exact
+            lo = a0c * x[None, :]  # < 2^64, exact
             lo_mod = (lo >> np.uint64(61)) + (lo & np.uint64(_MERSENNE))
-            m = (hi_mod + lo_mod + b[:, None]) % _MERSENNE
+            m = (hi_mod + lo_mod + bc) % _MERSENNE
             out.append(m.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
