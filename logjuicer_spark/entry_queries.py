@@ -32,6 +32,26 @@ import os as _os
 ORACLE_STAGE = _os.environ.get("LJ_ORACLE_STAGE", "/tmp/lj_oracle")
 
 
+def _parquet_row_count(path: str) -> int | None:
+    """Exact row count from local parquet footers (pyarrow, no Spark job);
+    None when the path isn't a plain local file/dir of parquet parts."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        if _os.path.isdir(path):
+            parts = glob.glob(_os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(pq.read_metadata(p).num_rows for p in parts)
+        if _os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+    return None
+
+
 def _stage(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     path = f"{ORACLE_STAGE}/{name}.parquet"
     df.write.mode("overwrite").parquet(path)
@@ -393,11 +413,14 @@ def q_pipeline_anomalies(spark, sf_dir):
     # train) run on overlapped threads anyway, so paying the window twice in
     # parallel is cheaper than serializing a cache materialization in front
     # of both. The target-row upper bound run() wants (to skip its
-    # limit-probe jobs) comes from the events parquet FOOTER count (~0.2s,
-    # metadata only): turns_view is a 1:1 projection of events, so the
-    # counts are equal by construction.
+    # limit-probe jobs) comes from the events parquet FOOTERS — read
+    # directly with pyarrow (milliseconds, no Spark job; a Spark
+    # metadata count still costs ~0.2s of scheduling): turns_view is a
+    # 1:1 projection of events, so the counts are equal by construction.
     t = turns_view(spark, sf_dir)
-    n_rows = _t(spark, sf_dir, "events").count()
+    n_rows = _parquet_row_count(f"{sf_dir}/events.parquet")
+    if n_rows is None:
+        n_rows = _t(spark, sf_dir, "events").count()
     baseline = t.filter(F.col("is_baseline") & (F.col("etype") != "error")).drop(
         "is_baseline", "etype"
     )
