@@ -625,6 +625,75 @@ def _assemble_region(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False
     return out
 
 
+# slim anomaly relation emitted by the decision-only route walk
+_ANOM_SCHEMA = (
+    "conv_id string, turn_idx int, sub_idx int, before array<string>, "
+    "after array<string>, ts_ms long"
+)
+# python-input columns the walk actually reads (guide §4: pass only what
+# the function needs — role/tool/ts ride through the JVM side only)
+_WALK_COLS = [
+    "conv_id", "turn_idx", "sub_idx", "text",
+    "is_ignored", "is_known", "is_target", "score", "emit_ok",
+]
+
+
+def _anomalies_region(pdf: pd.DataFrame, threshold: float, parse_ts: bool = False) -> pd.DataFrame:
+    """Decision-only twin of _assemble_region: run the context walk over a
+    region of whole conversations and emit ONLY the anomaly rows (key +
+    contexts + optional parsed timestamp). The row-wise remainder of the
+    routed output (normal/unknown labels, score masking, passthrough
+    columns) is reconstructed JVM-side by _route_single's dense path via a
+    broadcast join — the guide §8 shape: the heavy rows cross the Python
+    boundary once (inbound, slim columns) and only decisions come back."""
+    conv = pdf["conv_id"].to_numpy()
+    known = pdf["is_known"].to_numpy(dtype=bool)
+    tgt = pdf["is_target"].to_numpy(dtype=bool) & known
+    sc = pdf["score"].to_numpy(dtype="float32", na_value=np.nan)
+    sc0 = np.where(np.isnan(sc), np.float32(0.0), sc).astype(np.float32)
+    anom = tgt & (sc0 > np.float32(threshold))
+    cols = ["conv_id", "turn_idx", "sub_idx", "before", "after", "ts_ms"]
+    if not anom.any():
+        return pd.DataFrame(columns=cols)
+    n = len(pdf)
+    starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+    ends = np.r_[starts[1:], n]
+    dirty = np.logical_or.reduceat(anom, starts)
+    texts_all = pdf["text"].tolist()
+    ign_all = pdf["is_ignored"].to_numpy(dtype=bool)
+    tidx_all = pdf["turn_idx"].to_numpy()
+    sidx_all = pdf["sub_idx"].to_numpy()
+    emit_all = pdf["emit_ok"].to_numpy(dtype=bool)
+    rows = []
+    for ci in np.flatnonzero(dirty):
+        lo, hi = int(starts[ci]), int(ends[ci])
+        proc = lo + np.flatnonzero(known[lo:hi])
+        anomalies = find_anomalies(
+            [texts_all[i] for i in proc],
+            tidx_all[proc],
+            ign_all[proc],
+            tgt[proc],
+            sc0[proc],
+            emit_all[proc],
+            parse_ts=parse_ts,
+            threshold=np.float32(threshold),
+        )
+        cid = conv[lo]
+        for a in anomalies:
+            gi = int(proc[a["idx"]])
+            rows.append(
+                (
+                    cid,
+                    int(tidx_all[gi]),
+                    int(sidx_all[gi]),
+                    a["before"],
+                    a["after"],
+                    a.get("timestamp_ms") if parse_ts else None,
+                )
+            )
+    return pd.DataFrame(rows, columns=cols)
+
+
 def _apply_per_conv(sel: DataFrame, fn, schema, region_fn=None) -> DataFrame:
     """Per-conversation pandas processing without one-python-call-per-group.
 
@@ -725,6 +794,65 @@ def _apply_per_conv(sel: DataFrame, fn, schema, region_fn=None) -> DataFrame:
     return rep.mapInPandas(run, schema=schema)
 
 
+def _route_dense_slim(sel: DataFrame, threshold: float, parse_ts: bool) -> DataFrame:
+    """Anomaly-dense route with decision-only Python output (guide §8):
+    the per-conversation walk reads only _WALK_COLS and emits only the
+    anomaly rows; passthrough columns and the normal/unknown labels are
+    attached JVM-side via a broadcast join on (conv, turn, sub). The
+    caller guarantees the anomaly relation is broadcastable (anomalies
+    are a subset of the winners, whose count it checked)."""
+    anom = _apply_per_conv(
+        sel.select(*_WALK_COLS),
+        None,
+        _ANOM_SCHEMA,
+        region_fn=lambda g: _anomalies_region(g, threshold, parse_ts),
+    )
+    a = F.broadcast(
+        anom.select(
+            F.col("conv_id").alias("_a_conv"),
+            F.col("turn_idx").alias("_a_turn"),
+            F.col("sub_idx").alias("_a_sub"),
+            F.col("before").alias("_a_before"),
+            F.col("after").alias("_a_after"),
+            F.col("ts_ms").alias("_a_ts"),
+        )
+    )
+    j = sel.join(
+        a,
+        on=[
+            sel["conv_id"] == F.col("_a_conv"),
+            sel["turn_idx"] == F.col("_a_turn"),
+            sel["sub_idx"] == F.col("_a_sub"),
+        ],
+        how="left",
+    )
+    matched = F.col("_a_conv").isNotNull()
+    ts_col = (
+        F.when(matched, F.timestamp_millis(F.col("_a_ts")))
+        .otherwise(F.lit(None).cast("timestamp"))
+        if parse_ts
+        else F.col("ts")
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "sub_idx",
+        "role",
+        "tool",
+        ts_col.alias("ts"),
+        "text",
+        F.when(matched, F.lit("anomaly"))
+        .when(F.col("is_known"), F.lit("normal"))
+        .otherwise(F.lit("unknown"))
+        .alias("route"),
+        F.when(F.col("is_target") & F.col("is_known"), F.col("score"))
+        .cast("float")
+        .alias("score"),
+        F.col("_a_before").alias("before"),
+        F.col("_a_after").alias("after"),
+    )
+
+
 def _route_single(
     enriched: DataFrame,
     cfg: PipelineConfig,
@@ -732,6 +860,7 @@ def _route_single(
     dirty_conv_dim: DataFrame | None = None,
     n_convs: int | None = None,
     n_dirty: int | None = None,
+    n_winners: int | None = None,
 ) -> DataFrame:
     """One conversation per task (the common case: conversations are far
     smaller than cfg.max_task_lines).
@@ -838,7 +967,18 @@ def _route_single(
         n_convs is not None and n_dirty > 0.2 * n_convs
     ):
         # anomaly-dense: most conversations need the walk anyway (or the
-        # dim exceeds the broadcast guard) — single pass through pandas
+        # dim exceeds the broadcast guard). Round 6 (guide §8): when the
+        # anomaly count is provably broadcastable (bounded by the known
+        # winners count — every emitted anomaly is an anomalous winner's
+        # first occurrence), the walk ships only SLIM decision columns
+        # into Python and only the anomaly rows (key + contexts) back
+        # out; the full routed rows are reassembled JVM-side by a
+        # broadcast join. Row-identical to the region assembler (the
+        # normal/unknown/score formulas are the same vectorized
+        # expressions; pinned by tests/test_round6_opt.py). Without the
+        # bound, the classic single pandas pass runs.
+        if n_winners is not None and n_winners < _BROADCAST_SCORED_ROWS:
+            return _route_dense_slim(sel, threshold, parse_ts)
         return _apply_per_conv(sel, fn, ROUTED, region_fn=rfn)
     if dirty_dim is None and dirty_ids is None:
         dirty_dim = sel.filter(anom_row).select("conv_id").distinct()
@@ -900,6 +1040,7 @@ def route(
     dirty_conv_dim: DataFrame | None = None,
     n_convs: int | None = None,
     n_dirty: int | None = None,
+    n_winners: int | None = None,
 ) -> DataFrame:
     """Per-conversation context assembly + fan-out labels.
 
@@ -912,7 +1053,7 @@ def route(
     entirely (used for inputs already known to be small)."""
     kw = dict(
         clean_split=clean_split, dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
-        n_dirty=n_dirty,
+        n_dirty=n_dirty, n_winners=n_winners,
     )
     if not allow_split or cfg.max_task_lines is None:
         return _route_single(enriched, cfg, **kw)
@@ -1352,7 +1493,7 @@ def run(
             routed = route(
                 enriched, cfg, allow_split=False, clean_split=True,
                 dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
-                n_dirty=n_dirty,
+                n_dirty=n_dirty, n_winners=n_winners,
             ).persist()
             routed.count()
             _rec("enrich_route", _t0)
@@ -1481,7 +1622,7 @@ def run(
         routed_plan = route(
             enriched, cfg, conv_sizes=conv_sizes, allow_split=allow_split,
             clean_split=True, dirty_conv_dim=dirty_conv_dim, n_convs=n_convs,
-            n_dirty=n_dirty,
+            n_dirty=n_dirty, n_winners=n_winners,
         )
         _rec("route_strategy", _t_strategy)
         _t_route = _time.perf_counter()

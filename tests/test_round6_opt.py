@@ -147,6 +147,56 @@ def test_assemble_region_equals_per_conv():
     assert list(per_conv["after"]) == list(region["after"])
 
 
+def test_route_dense_slim_equals_region(spark, corpus):
+    """The decision-only dense route (_route_dense_slim: slim Python
+    input, anomalies-only output, JVM reassembly) must produce the same
+    routed rows as the region-assembler pandas pass."""
+    baseline_df, target_df, _ = corpus
+    cfg = pipeline.PipelineConfig()
+    from logjuicer_spark import model as M
+
+    indexes, model_df = M.train_winners_collected(
+        spark, pipeline.parse(baseline_df, cfg, columns="dkey")
+    )
+    bc = M.broadcast_indexes(spark, indexes)
+    parsed = pipeline.parse(target_df, cfg, columns="dkey").persist()
+    w = pipeline._winners_raw(parsed, cfg).persist()
+    nw = w.count()
+    enriched = pipeline.enrich(
+        parsed, bc, cfg, count_scored=False, model_df=model_df,
+        winners=w, n_winners=nw,
+    )
+    sel = enriched.select(*pipeline._ROUTE_COLS)
+
+    dense_pandas = pipeline._apply_per_conv(
+        sel,
+        lambda g: pipeline._assemble_conv(g, cfg.threshold, False),
+        pipeline.ROUTED,
+        region_fn=lambda g: pipeline._assemble_region(g, cfg.threshold, False),
+    )
+    dense_slim = pipeline._route_dense_slim(sel, cfg.threshold, False)
+
+    def norm(df):
+        rows = df.collect()
+        return sorted(
+            (
+                r["conv_id"], r["turn_idx"], r["sub_idx"], r["role"], r["tool"],
+                r["ts"], r["text"], r["route"],
+                None if r["score"] is None else round(float(r["score"]), 6),
+                tuple(r["before"]) if r["before"] is not None else None,
+                tuple(r["after"]) if r["after"] is not None else None,
+            )
+            for r in rows
+        )
+
+    a = norm(dense_pandas)
+    b = norm(dense_slim)
+    pipeline.release_stage_caches()
+    parsed.unpersist()
+    assert a == b and len(a) > 0
+    assert any(r[7] == "anomaly" for r in a)
+
+
 def test_flagship_small_and_big_paths_agree(spark, corpus):
     """run() via the big path (winners overlap + middle trainer) and the
     small path produce the same anomaly set."""
